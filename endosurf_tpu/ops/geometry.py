@@ -37,9 +37,12 @@ def rays_from_pixels(
       (matches /root/reference/src/dataset/dataset.py:228-232).
     """
     p = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)  # [..., 3]
-    d_cam = jnp.einsum("ij,...j->...i", intrinsic_inv, p)
+    # precision="highest": camera geometry must be exact f32 (direction norms
+    # feed depth conventions); these einsums are negligible FLOPs.
+    d_cam = jnp.einsum("ij,...j->...i", intrinsic_inv, p, precision="highest")
     d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
-    rays_d = jnp.einsum("ij,...j->...i", pose[:3, :3], d_cam)
+    rays_d = jnp.einsum("ij,...j->...i", pose[:3, :3], d_cam,
+                        precision="highest")
     rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
     return rays_o, rays_d
 

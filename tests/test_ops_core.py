@@ -171,8 +171,8 @@ class TestNeusMath:
         alpha, prev_cdf = neus_alpha(sdf, iter_cos, dists, 64.0)
         a = np.asarray(alpha)[0]
         assert np.all((a >= 0) & (a <= 1))
-        assert a[1] > 0.5  # crossing bin is opaque at sharp inv_s
-        assert a[0] < a[1]
+        assert a[2] > 0.9  # bin past the crossing is opaque at sharp inv_s
+        assert a[0] < a[1] < a[2]
 
     def test_alpha_no_surface(self):
         sdf = jnp.full((1, 4), 0.5)
