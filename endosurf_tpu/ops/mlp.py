@@ -81,6 +81,10 @@ def _layer_dims(
                 d1 = out_dim
             elif (l + 1) in skips:
                 d1 = hidden_dim - in_dim
+                if d1 <= 0:
+                    raise ValueError(
+                        f"idr-style skip MLP needs hidden_dim > encoded "
+                        f"in_dim (got hidden={hidden_dim}, in={in_dim})")
             else:
                 d1 = hidden_dim
         else:

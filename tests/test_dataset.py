@@ -1,0 +1,134 @@
+"""Tests for scene loading, synthetic scene generation, and batch sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from endosurf_tpu.data.scene_data import (
+    SceneData,
+    decompose_projection,
+    frame_rays,
+    make_synthetic_scene,
+    sample_train_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    pkl = make_synthetic_scene(str(d), n_frames=8, h=24, w=32)
+    return SceneData.load(pkl)
+
+
+def test_decompose_projection_roundtrip():
+    K = np.array([[120.0, 0, 40], [0, 110.0, 30], [0, 0, 1]])
+    # Rotation around y + translation.
+    th = 0.3
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]])
+    c2w = np.eye(4)
+    c2w[:3, :3] = R
+    c2w[:3, 3] = [0.5, -0.2, 1.0]
+    w2c = np.linalg.inv(c2w)
+    P = K @ w2c[:3, :4]
+    K_out, pose_out = decompose_projection(P)
+    np.testing.assert_allclose(K_out[:3, :3], K, atol=1e-4)
+    np.testing.assert_allclose(pose_out, c2w, atol=1e-4)
+
+
+def test_scene_shapes(scene):
+    assert scene.n_frames == 8
+    assert (scene.h, scene.w) == (24, 32)
+    a = scene.device_arrays
+    assert a["colors"].shape == (8, 24, 32, 3)
+    assert a["depths"].shape == (8, 24, 32, 1)
+    assert a["masks"].shape == (8, 24, 32, 1)
+    assert a["sample_w"].shape == (8, 24 * 32)
+    assert a["poses"].shape == (8, 4, 4)
+    assert len(scene.list_train) + len(scene.list_test) == 8
+    # Depth normalization puts the scene in unit-ish range.
+    d = np.asarray(a["depths"])
+    assert 1.0 < d.mean() < 3.5
+    assert scene.depth_scale == 100.0
+
+
+def test_camera_decomposition_matches_generator(scene):
+    # Synthetic camera sits at (0,0,-2) with identity rotation.
+    np.testing.assert_allclose(scene.poses[0][:3, 3], [0, 0, -2], atol=1e-4)
+    np.testing.assert_allclose(scene.poses[0][:3, :3], np.eye(3), atol=1e-4)
+
+
+def test_masks_exclude_tool_and_background(scene):
+    a = scene.device_arrays
+    masks = np.asarray(a["masks"])
+    color_masks = np.asarray(a["color_masks"])
+    # The synthetic tool rectangle zeroes part of every frame's color mask.
+    assert color_masks.min() == 0.0 and color_masks.max() == 1.0
+    # Combined masks are sparser than color masks (depth band cut).
+    assert masks.sum() < color_masks.sum()
+
+
+def test_sample_train_batch(scene):
+    a = scene.device_arrays
+    batch = sample_train_batch(a, scene.h, scene.w, jax.random.PRNGKey(0),
+                               ray_batch=256)
+    assert batch["rays"].shape == (256, 9)
+    assert batch["color"].shape == (256, 3)
+    assert batch["depth"].shape == (256, 1)
+    assert batch["mask"].shape == (256, 1)
+    # Sampled frame must come from the train split.
+    assert int(batch["frame_id"]) in set(scene.list_train.tolist())
+    # Directions are unit; time in [0, 1].
+    d = np.asarray(batch["rays"][:, 3:6])
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    t = np.asarray(batch["rays"][:, 8])
+    assert t.min() >= 0 and t.max() <= 1
+    # Mask-guided sampling never picks pixels outside the color mask.
+    cm = np.asarray(batch["color_mask"])
+    assert cm.min() == 1.0
+
+
+def test_sample_batch_jits(scene):
+    a = scene.device_arrays
+    import functools
+    fn = jax.jit(functools.partial(sample_train_batch, h=scene.h, w=scene.w,
+                                   ray_batch=64))
+    b1 = fn(a, key=jax.random.PRNGKey(1))
+    b2 = fn(a, key=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(b1["rays"]), np.asarray(b2["rays"]))
+
+
+def test_frame_rays_consistency(scene):
+    """Per-pixel rays reproduce GT depth geometry: o + d/d_z * depth lands on
+    the synthetic sphere surface."""
+    a = scene.device_arrays
+    fid = 0
+    rays = np.asarray(frame_rays(a, scene.h, scene.w, fid))
+    assert rays.shape == (scene.h, scene.w, 9)
+    depth = np.asarray(a["depths"][fid])[..., 0]
+    mask = np.asarray(a["depth_masks"][fid])[..., 0] > 0
+    o = rays[..., :3]
+    d = rays[..., 3:6]
+    d_z = d / (d[..., 2:3] + 1e-6)
+    pts = o + d_z * depth[..., None]
+    r = np.linalg.norm(pts, axis=-1)
+    # Frame 0 sphere radius is 0.5 (sin(0)=0).
+    np.testing.assert_allclose(r[mask], 0.5, atol=0.02)
+
+
+def test_importance_map_upweights_occluded(scene):
+    a = scene.device_arrays
+    w = np.asarray(a["sample_w"]).reshape(8, scene.h, scene.w)
+    # Pixels under the moving tool in other frames get weight > plain mask
+    # weight when visible.
+    masks = np.asarray(a["masks"]).reshape(8, scene.h, scene.w)
+    vis = (masks[0] > 0)
+    occluded_somewhere = ((masks.min(0) == 0) & vis)
+    never_occluded = ((masks.min(0) > 0) & vis)
+    assert w[0][occluded_somewhere].mean() > w[0][never_occluded].mean()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

@@ -1,0 +1,150 @@
+"""Renderer tests against the analytic sphere implied by geometric init.
+
+With ``use_deform=False`` and SAL geometric init, the SDF network approximates
+sdf(x) = |x| - 0.8 at initialization, giving closed-form expectations for
+compositing depth and sphere tracing without any training.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from endosurf_tpu.models.endosurf import (
+    RenderSpec,
+    error_on_depth,
+    ray_march,
+    render_rays,
+    surface_neighbour_error,
+)
+from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
+
+
+@pytest.fixture(scope="module")
+def static_sphere():
+    spec = EndoSurfSpec(use_deform=False)
+    params = init_endosurf_params(jax.random.PRNGKey(0), spec)
+    return spec, params
+
+
+def make_rays(n, origin_z=-2.0, spread=0.05):
+    """Rays from (0,0,origin_z) roughly toward +z with small spread."""
+    rng = np.random.default_rng(0)
+    d = np.concatenate([
+        rng.uniform(-spread, spread, size=(n, 2)), np.ones((n, 1))], axis=-1)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.tile([0.0, 0.0, origin_z], (n, 1))
+    near = np.full((n, 1), 0.0)
+    far = np.full((n, 1), 4.0)
+    t = np.full((n, 1), 0.5)
+    return jnp.asarray(
+        np.concatenate([o, d, near, far, t], axis=-1).astype(np.float32))
+
+
+class TestRenderRays:
+    def test_shapes_and_depth(self, static_sphere):
+        spec, params = static_sphere
+        rspec = RenderSpec()
+        rays = make_rays(8)
+        out = render_rays(spec, rspec, params, rays, jnp.asarray(100000.0))
+        n_total = rspec.n_samples + rspec.n_importance
+        assert out["color_map"].shape == (8, 3)
+        assert out["depth_map"].shape == (8, 1)
+        assert out["weights"].shape == (8, n_total)
+        assert out["gradients_o"].shape == (8, n_total, 3)
+        # Camera at z=-2 looking at the ~0.8-radius init sphere: z-depth of
+        # the front surface is ~1.2 for near-axis rays.
+        depth = np.asarray(out["depth_map"])[:, 0]
+        # At the untrained inv_s (~20) the alpha falloff is soft, so the
+        # weighted depth lands slightly past the true surface at 1.2.
+        np.testing.assert_allclose(depth, 1.3, atol=0.2)
+        w = np.asarray(out["weights"])
+        assert w.min() >= 0 and w.sum(-1).max() <= 1.0 + 1e-5
+        # Geometric init gives near-unit gradients -> small eikonal error.
+        assert float(out["gradient_o_error"]) < 0.1
+
+    def test_jit_and_perturb(self, static_sphere):
+        spec, params = static_sphere
+        rspec = RenderSpec()
+        fn = jax.jit(functools.partial(render_rays, spec, rspec),
+                     static_argnames=("use_importance",))
+        rays = make_rays(4)
+        out1 = fn(params, rays, jnp.asarray(0.0), key=jax.random.PRNGKey(1))
+        out2 = fn(params, rays, jnp.asarray(0.0), key=jax.random.PRNGKey(2))
+        # Perturbed stratification differs per key but depths stay close.
+        d1 = np.asarray(out1["depth_map"])
+        d2 = np.asarray(out2["depth_map"])
+        assert not np.allclose(d1, d2)
+        np.testing.assert_allclose(d1, d2, atol=0.1)
+
+    def test_no_importance_variant(self, static_sphere):
+        spec, params = static_sphere
+        rspec = RenderSpec()
+        rays = make_rays(4)
+        out = render_rays(spec, rspec, params, rays, jnp.asarray(0.0),
+                          use_importance=False)
+        assert out["weights"].shape == (4, rspec.n_samples)
+
+
+class TestRayMarch:
+    def test_hits_init_sphere(self, static_sphere):
+        spec, params = static_sphere
+        rays = make_rays(8, spread=0.02)
+        depth, valid = ray_march(spec, params, rays)
+        assert bool(np.all(np.asarray(valid)))
+        np.testing.assert_allclose(np.asarray(depth)[:, 0], 1.2, atol=0.1)
+
+    def test_miss_is_invalid(self, static_sphere):
+        spec, params = static_sphere
+        # Rays pointing away from the sphere never cross the surface.
+        o = np.tile([0.0, 0.0, -2.0], (4, 1))
+        d = np.tile([0.0, 0.0, -1.0], (4, 1))
+        rays = jnp.asarray(np.concatenate(
+            [o, d, np.zeros((4, 1)), np.full((4, 1), 4.0),
+             np.full((4, 1), 0.5)], -1).astype(np.float32))
+        depth, valid = ray_march(spec, params, rays)
+        assert not bool(np.any(np.asarray(valid)))
+        assert np.all(np.isfinite(np.asarray(depth)))  # NaN-safe placeholder
+
+
+class TestDepthLosses:
+    def test_error_on_depth_zero_at_surface(self, static_sphere):
+        spec, params = static_sphere
+        rays = make_rays(8, spread=0.02)
+        mask = jnp.ones((8, 1))
+        # Points exactly on the init surface -> tiny SDF error.
+        d_surface = jnp.full((8, 1), 1.2)
+        sdf_err_surf, angle_err, region = error_on_depth(
+            spec, params, rays, d_surface, mask)
+        d_wrong = jnp.full((8, 1), 1.6)
+        sdf_err_wrong, _, _ = error_on_depth(spec, params, rays, d_wrong, mask)
+        assert float(sdf_err_surf) < 0.1
+        assert float(sdf_err_wrong) > 2 * float(sdf_err_surf)
+        assert region.shape == (8, 1)
+        # Rays enter the sphere front-facing: gradient opposes direction, so
+        # relu(cos) ~ 0.
+        assert float(angle_err) < 0.1
+
+    def test_surface_neighbour_error_finite(self, static_sphere):
+        spec, params = static_sphere
+        rays = make_rays(8, spread=0.02)
+        mask = jnp.ones((8, 1))
+        err = surface_neighbour_error(spec, params, rays, mask,
+                                      jax.random.PRNGKey(0), 0.05)
+        assert np.isfinite(float(err))
+        # Smooth init sphere -> neighbouring normals nearly parallel.
+        assert float(err) < 0.2
+
+    def test_surface_neighbour_error_all_masked(self, static_sphere):
+        spec, params = static_sphere
+        rays = make_rays(4)
+        err = surface_neighbour_error(spec, params, rays, jnp.zeros((4, 1)),
+                                      jax.random.PRNGKey(0), 0.05)
+        assert float(err) == 0.0
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
