@@ -144,7 +144,8 @@ def upsample_z(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
 
 def render_core(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
                 z_vals: jnp.ndarray, sample_dist: float,
-                anneal: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+                anneal: jnp.ndarray, remat: bool = False
+                ) -> Dict[str, jnp.ndarray]:
     """Evaluate fields at section midpoints and composite (endosurf.py:134-213)."""
     rays_o, rays_d, rays_d_z, t = _split_rays(rays)
     n_rays, n_samples = z_vals.shape
@@ -160,7 +161,8 @@ def render_core(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
 
     out = fused_point_eval(
         spec, params,
-        pts.reshape(-1, 3), dirs.reshape(-1, 3), tt.reshape(-1, 1))
+        pts.reshape(-1, 3), dirs.reshape(-1, 3), tt.reshape(-1, 1),
+        remat=remat)
     sdf = out["sdf"].reshape(n_rays, n_samples)
     color = out["color"].reshape(n_rays, n_samples, 3)
     grad_o = out["grad_o"].reshape(n_rays, n_samples, 3)
@@ -197,7 +199,8 @@ def render_core(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
 def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
                 rays: jnp.ndarray, iter_step: jnp.ndarray,
                 key: Optional[jax.Array] = None,
-                use_importance: bool = True) -> Dict[str, jnp.ndarray]:
+                use_importance: bool = True,
+                remat: bool = False) -> Dict[str, jnp.ndarray]:
     """Render a batch of rays (endosurf.py:60-132).
 
     Args:
@@ -223,7 +226,8 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
             upsample_z(spec, rspec, jax.lax.stop_gradient(params),
                        rays_o, rays_d_z, t, z_vals))
 
-    return render_core(spec, params, rays, z_vals, sample_dist, anneal)
+    return render_core(spec, params, rays, z_vals, sample_dist, anneal,
+                       remat=remat)
 
 
 # ---------------------------------------------------------------------------

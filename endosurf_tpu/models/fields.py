@@ -220,21 +220,29 @@ def _point_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
 
 
 def fused_point_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
-                     d: jnp.ndarray, t: jnp.ndarray):
+                     d: jnp.ndarray, t: jnp.ndarray, remat: bool = False):
     """Batched fused field evaluation.
 
     Args:
       x: [N, 3] observed-space points.
       d: [N, 3] observed-space view directions (unit).
       t: [N, 1] times in [0, 1].
+      remat: rematerialize activations on the backward pass (jax.checkpoint).
+        The training step differentiates twice through ~64 samples/ray of
+        9x256 MLPs; remat trades a recompute for an order of magnitude less
+        live-activation HBM.
 
     Returns:
       dict with sdf [N], color [N,3], grad_o [N,3] (observed-space SDF
       gradient, equals the reference's get_sdf_grad_from_observed_space),
       grad_c [N,3] (canonical normal fed to the color net).
     """
-    sdf, color, grad_o, grad_c = jax.vmap(
-        _point_eval, in_axes=(None, None, 0, 0, 0))(spec, params, x, d, t)
+    def batched(p, xx, dd, tt):
+        return jax.vmap(_point_eval, in_axes=(None, None, 0, 0, 0))(
+            spec, p, xx, dd, tt)
+
+    fn = jax.checkpoint(batched) if remat else batched
+    sdf, color, grad_o, grad_c = fn(params, x, d, t)
     return {"sdf": sdf, "color": color, "grad_o": grad_o, "grad_c": grad_c}
 
 

@@ -1,0 +1,127 @@
+"""Base trainer: experiment management, main loop, checkpoint cadence.
+
+Template-method skeleton mirroring the reference Trainer
+(/root/reference/src/trainer/trainer_basic.py:16-163): subclasses provide the
+jitted train step, eval, and demo; the base owns directories, resume logic,
+the train loop with eval/save hooks, and logging.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from endosurf_tpu.config import load_config, save_config
+from endosurf_tpu.data.scene_data import SceneData
+from endosurf_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from endosurf_tpu.train.logging import MetricsWriter
+
+
+class Trainer:
+    def __init__(self, cfg: Any, mode: str = "train",
+                 scene: Optional[SceneData] = None):
+        if isinstance(cfg, str):
+            cfg = load_config(cfg)
+        self.cfg = cfg
+        self.mode = mode
+
+        if scene is not None:
+            self.scene = scene
+        else:
+            data_cfg = cfg["data"]
+            self.scene = SceneData.load(
+                data_cfg["info_dir"],
+                normalize_time=data_cfg.get("normalize_time", True))
+
+        exp_cfg = cfg["exp"]
+        self.proj_name = exp_cfg["project_name"]
+        self.exp_name = (f"{exp_cfg['exp_name']}-{self.scene.dset_name}"
+                         f"-{self.scene.scene_name}")
+        self.exp_dir = osp.join(exp_cfg.get("exp_dir", "logs/"),
+                                self.proj_name, self.exp_name)
+        os.makedirs(self.exp_dir, exist_ok=True)
+
+        self.train_cfg = cfg["train"]
+        self.n_iter = self.train_cfg["n_iter"]
+        self.resume = self.train_cfg.get("resume", False)
+
+        log_cfg = cfg.get("log", {})
+        self.i_eval = log_cfg.get("i_eval", 20000)
+        self.i_save = log_cfg.get("i_save", 2500)
+
+        self.step_start = 1
+        self.writer: Optional[MetricsWriter] = None
+
+        self.setup()  # subclass: model/optimizer/jitted step
+
+        if mode != "train":
+            restored = load_checkpoint(self.exp_dir, self.opt_state_template())
+            assert restored is not None, (
+                f"no checkpoint found in {self.exp_dir}")
+            self.restore(restored)
+        else:
+            save_config(cfg, osp.join(self.exp_dir, "cfg.yml"))
+            if self.resume:
+                restored = load_checkpoint(self.exp_dir,
+                                           self.opt_state_template())
+                if restored is not None:
+                    self.restore(restored)
+            self.writer = MetricsWriter(self.exp_dir, cfg)
+
+    # -- subclass interface -------------------------------------------------
+    def setup(self) -> None:
+        raise NotImplementedError
+
+    def opt_state_template(self):
+        raise NotImplementedError
+
+    def restore(self, restored: Dict[str, Any]) -> None:
+        raise NotImplementedError
+
+    def checkpoint_state(self):
+        """Return (params, opt_state) to persist."""
+        raise NotImplementedError
+
+    def train_step(self, step: int) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def eval(self, step: int) -> Dict[str, float]:
+        raise NotImplementedError
+
+    # -- main loop ----------------------------------------------------------
+    def start(self, log_every: int = 100) -> None:
+        t0 = time.time()
+        rays_done = 0
+        ray_batch = self.train_cfg.get("ray_batch", 1024)
+        for step in range(self.step_start, self.n_iter + 1):
+            if self.i_eval > 0 and (step == 1 or step % self.i_eval == 0
+                                    or step == self.n_iter):
+                self.eval(step)
+
+            metrics = self.train_step(step)
+            rays_done += ray_batch
+
+            if self.writer is not None and (step % log_every == 0
+                                            or step == 1):
+                self.writer.add_scalars("train", metrics, step)
+                dt = time.time() - t0
+                self.writer.add_scalar("perf/rays_per_sec", rays_done / dt,
+                                       step)
+                if step % (log_every * 10) == 0:
+                    print(f"TRAIN|iter:{step}/{self.n_iter}"
+                          f"|loss:{metrics.get('loss_total', float('nan')):.5g}"
+                          f"|rays/s:{rays_done / dt:,.0f}", flush=True)
+
+            if self.i_save > 0 and (step % self.i_save == 0
+                                    or step == self.n_iter):
+                params, opt_state = self.checkpoint_state()
+                path = save_checkpoint(self.exp_dir, step, params, opt_state)
+                print(f"SAVE|iter:{step}/{self.n_iter}|path:{path}",
+                      flush=True)
+        if self.writer is not None:
+            self.writer.flush()
+        print("Training complete!", flush=True)

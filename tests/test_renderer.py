@@ -95,7 +95,15 @@ class TestRayMarch:
         rays = make_rays(8, spread=0.02)
         depth, valid = ray_march(spec, params, rays)
         assert bool(np.all(np.asarray(valid)))
-        np.testing.assert_allclose(np.asarray(depth)[:, 0], 1.2, atol=0.1)
+        # The marched depth must sit on the zero level set: |sdf| ~ 0 there
+        # (secant refinement invariant), and all near-axis rays agree.
+        from endosurf_tpu.models.fields import sdf_observed
+        o = rays[:, :3]
+        d_z = rays[:, 3:6] / rays[:, 5:6]
+        pts = o + depth * d_z
+        sdf = np.asarray(sdf_observed(spec, params, pts, rays[:, 8:9]))
+        np.testing.assert_allclose(sdf, 0.0, atol=5e-3)
+        assert np.asarray(depth).std() < 0.05
 
     def test_miss_is_invalid(self, static_sphere):
         spec, params = static_sphere
@@ -115,12 +123,13 @@ class TestDepthLosses:
         spec, params = static_sphere
         rays = make_rays(8, spread=0.02)
         mask = jnp.ones((8, 1))
-        # Points exactly on the init surface -> tiny SDF error.
-        d_surface = jnp.full((8, 1), 1.2)
+        # Points exactly on the init surface (located by sphere tracing)
+        # -> tiny SDF error; displaced points -> larger error.
+        d_surface, _ = ray_march(spec, params, rays)
         sdf_err_surf, angle_err, region = error_on_depth(
             spec, params, rays, d_surface, mask)
-        d_wrong = jnp.full((8, 1), 1.6)
-        sdf_err_wrong, _, _ = error_on_depth(spec, params, rays, d_wrong, mask)
+        sdf_err_wrong, _, _ = error_on_depth(spec, params, rays,
+                                             d_surface + 0.3, mask)
         assert float(sdf_err_surf) < 0.1
         assert float(sdf_err_wrong) > 2 * float(sdf_err_surf)
         assert region.shape == (8, 1)
