@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: EndoSurf training throughput (rays/sec) on the default device.
+
+Runs the flagship configuration — full-size 9x256 deform/SDF/color fields,
+32 stratified + 32 importance samples/ray, 1024-ray batches, all six losses
+including the 128-step sphere-traced surface-neighbour regularizer — i.e. the
+same per-iteration work as the reference's base_pull.yml training
+(/root/reference/configs/endosurf/baseline/base_pull.yml), on an in-memory
+synthetic scene (the real datasets are not redistributable).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
+denominator is an estimate of the PyTorch reference on a single modern CUDA
+GPU (~3.5 it/s at 1024 rays/iter ~= 3,500 rays/s for NeuS-class pipelines
+with double-backprop Eikonal terms). Replace with a measured number when the
+reference can be profiled on comparable hardware.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC_ESTIMATE = 3500.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _synthetic_arrays
+    from endosurf_tpu.models.endosurf import RenderSpec
+    from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
+    from endosurf_tpu.train.schedules import warmup_cosine
+    from endosurf_tpu.train.trainer_endosurf import make_train_step
+
+    scene = _synthetic_arrays(n_frames=8, h=512, w=640)
+
+    spec = EndoSurfSpec()
+    rspec = RenderSpec()
+    ray_batch = 1024
+    tx = optax.adam(warmup_cosine(5e-4, 5000, 100000, 0.05))
+    loss_weights = {
+        "color_loss_weight": 1.0, "depth_loss_weight": 1.0,
+        "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
+        "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1,
+    }
+    step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w, ray_batch,
+                              loss_weights, surf_neig_rad=0.1)
+
+    params = init_endosurf_params(jax.random.PRNGKey(0), spec)
+    opt_state = tx.init(params)
+    arrays = scene.device_arrays
+    key = jax.random.PRNGKey(1)
+
+    # Warmup / compile.
+    import sys
+    for i in range(3):
+        key, k = jax.random.split(key)
+        t = time.perf_counter()
+        params, opt_state, metrics = step_fn(params, opt_state, arrays, k,
+                                             jnp.asarray(float(i + 1)))
+        jax.block_until_ready(metrics)
+        print(f"# warmup {i}: {time.perf_counter() - t:.1f}s",
+              file=sys.stderr, flush=True)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, k = jax.random.split(key)
+        params, opt_state, metrics = step_fn(params, opt_state, arrays, k,
+                                             jnp.asarray(float(i + 4)))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_steps * ray_batch / dt
+    assert np.isfinite(float(np.asarray(metrics["loss_total"])))
+    print(json.dumps({
+        "metric": "endosurf_train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

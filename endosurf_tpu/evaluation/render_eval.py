@@ -28,17 +28,22 @@ from endosurf_tpu.evaluation.vis import (
 
 def render_full_frames(render_fn, params, arrays, h: int, w: int,
                        fids: Sequence[int], step: int,
-                       ray_chunk: int = 2048) -> Dict[str, np.ndarray]:
+                       ray_chunk: int = 2048,
+                       ray_transform=None) -> Dict[str, np.ndarray]:
     """Render frames with a jitted chunked renderer.
 
     ``render_fn(params, rays[chunk,9], step_f) -> dict`` must return at least
     color_map/depth_map and, for SDF models, weights + gradients_o for the
-    weighted normal map.
+    weighted normal map. ``ray_transform(rays[N,9], fid) -> rays`` lets a
+    model rewrite ray slots per frame (EndoNeRF writes gt depth into slot 6
+    for depth-guided sampling, reference trainer_endonerf.py:163-165).
     """
     rgbs, depths, normals = [], [], []
     step_f = jnp.asarray(float(step))
     for fid in fids:
         rays = np.asarray(frame_rays(arrays, h, w, int(fid))).reshape(-1, 9)
+        if ray_transform is not None:
+            rays = np.asarray(ray_transform(rays, int(fid)))
         n_rays = rays.shape[0]
         n_pad = (-n_rays) % ray_chunk
         rays_p = np.concatenate(
@@ -77,8 +82,9 @@ def eval_frames(trainer, fids: Sequence[int], step: int,
     fids = [int(f) for f in fids]
 
     render_fn = trainer.render_fn()
-    pred = render_full_frames(render_fn, trainer.params, arrays, scene.h,
-                              scene.w, fids, step, ray_chunk)
+    pred = render_full_frames(
+        render_fn, trainer.params, arrays, scene.h, scene.w, fids, step,
+        ray_chunk, ray_transform=getattr(trainer, "eval_ray_transform", None))
 
     rgb_gt = np.asarray(arrays["colors"])[fids]
     depth_gt = np.asarray(arrays["depths"])[fids]

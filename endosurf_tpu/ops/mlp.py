@@ -190,21 +190,23 @@ def skip_mlp_apply(
     x_enc: jnp.ndarray,
     skips: Sequence[int] = (),
     activation: str = "relu",
+    skip_scale: float = 1.0 / math.sqrt(2.0),
 ) -> jnp.ndarray:
     """Run a skip MLP on encoded input (no output activation).
 
     Skip rule matches the reference forward passes (endosurf.py:732-737,
     778-783, 835-840): before each skip layer the running features are
-    concatenated with the encoded input and scaled by 1/sqrt(2).
+    concatenated with the encoded input and scaled by ``skip_scale``
+    (1/sqrt(2) for EndoSurf nets; the DNeRF baseline concatenates unscaled,
+    endonerf.py:347-352 — pass skip_scale=1.0).
     """
     act = ACTIVATIONS[activation]
     layers = params["layers"]
     n_layers = len(layers)
-    inv_sqrt2 = 1.0 / math.sqrt(2.0)
     h = x_enc
     for l, layer in enumerate(layers):
         if l in skips:
-            h = jnp.concatenate([h, x_enc], axis=-1) * inv_sqrt2
+            h = jnp.concatenate([h, x_enc], axis=-1) * skip_scale
         h = linear_apply(layer, h)
         if l != n_layers - 1:
             h = act(h)

@@ -1,0 +1,51 @@
+"""Device-mesh data parallelism over the ray axis.
+
+The reference is strictly single-GPU (SURVEY.md §2.6: no torch.distributed /
+NCCL anywhere). Per-ray rendering is embarrassingly parallel, so the TPU
+design shards the ray batch across chips on a 1-D ("data",) mesh and keeps
+parameters replicated:
+
+  * the sampled batch gets a ``with_sharding_constraint`` along axis 0;
+  * every loss reduction is a masked global sum, which XLA turns into psums
+    over ICI automatically;
+  * the Adam update runs replicated (params are small: ~2M floats).
+
+No hand-written collectives are required — this module only pins layouts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_ray_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Pin per-ray tensors to the data axis; scalars stay replicated."""
+    ray_sh = ray_sharding(mesh)
+    rep_sh = replicated_sharding(mesh)
+
+    def constrain(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.lax.with_sharding_constraint(x, ray_sh)
+        return jax.lax.with_sharding_constraint(x, rep_sh)
+
+    return {k: constrain(v) for k, v in batch.items()}

@@ -1,0 +1,147 @@
+"""EndoNeRF trainer (D-NeRF density baseline).
+
+Re-design of /root/reference/src/trainer/trainer_endonerf.py:26-225: single
+Adam optimizer with exponential LR decay, masked MSE color + Huber depth
+losses, depth-guided sampling writing (gt-depth, sigma) into ray slots 6/7.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from endosurf_tpu.data.scene_data import sample_train_batch
+from endosurf_tpu.models.endonerf import (
+    DNeRFRenderSpec,
+    DNeRFSpec,
+    init_dnerf_params,
+    render_rays,
+)
+from endosurf_tpu.train.losses import endonerf_loss_terms
+from endosurf_tpu.train.schedules import exponential
+from endosurf_tpu.train.trainer import Trainer
+
+
+def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
+                    tx: optax.GradientTransformation, h: int, w: int,
+                    ray_batch: int, loss_weights: Dict[str, float],
+                    mask_guided: bool = True, mesh=None):
+    def loss_fn(params, batch, key):
+        rays = batch["rays"]
+        if rspec.use_depth_sampling:
+            # Overwrite near/far slots with (gt depth, sigma)
+            # (trainer_endonerf.py:114-116).
+            rays = jnp.concatenate([
+                rays[..., :6], batch["depth"],
+                jnp.full_like(rays[..., 7:8], rspec.depth_sampling_sigma),
+                rays[..., 8:9]], axis=-1)
+        out = render_rays(spec, rspec, params, rays, key=key)
+        return endonerf_loss_terms(out, batch, loss_weights)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, arrays, key, step_f):
+        del step_f  # the DNeRF objective has no step-dependent annealing
+        k_batch, k_loss = jax.random.split(key)
+        batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
+                                   mask_guided=mask_guided)
+        if mesh is not None:
+            from endosurf_tpu.parallel.mesh import shard_ray_batch
+            batch = shard_ray_batch(batch, mesh)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, k_loss)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+class EndoNeRFTrainer(Trainer):
+    def setup(self) -> None:
+        cfg = self.cfg
+        self.spec = DNeRFSpec.from_config(cfg["net"])
+        self.rspec = DNeRFRenderSpec.from_config(cfg["render"])
+
+        seed = cfg.get("exp", {}).get("seed", 0)
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.params = init_dnerf_params(k_init, self.spec)
+
+        optim_cfg = self.train_cfg["optim"]
+        schedule = exponential(optim_cfg["lr"], optim_cfg.get("lr_decay", 250))
+        self.tx = optax.adam(schedule)
+        self.opt_state = self.tx.init(self.params)
+
+        self.loss_weights = {
+            "color_loss_weight": float(
+                self.train_cfg.get("color_loss_weight", 1.0)),
+            "depth_loss_weight": float(
+                self.train_cfg.get("depth_loss_weight", 1.0)),
+        }
+        self.mesh = None
+        par_cfg = cfg.get("parallel", {})
+        if par_cfg.get("data_parallel", False):
+            from endosurf_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(par_cfg.get("n_devices"))
+        self._step_fn = make_train_step(
+            self.spec, self.rspec, self.tx, self.scene.h, self.scene.w,
+            self.train_cfg.get("ray_batch", 2048), self.loss_weights,
+            mask_guided=self.train_cfg.get("mask_guided_ray_sampling", True),
+            mesh=self.mesh)
+
+    def opt_state_template(self):
+        return self.opt_state
+
+    def restore(self, restored: Dict[str, Any]) -> None:
+        self.step_start = int(restored["n_iter"]) + 1
+        self.params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        self.opt_state = restored["opt_state"]
+
+    def checkpoint_state(self):
+        return self.params, self.opt_state
+
+    def train_step(self, step: int) -> Dict[str, float]:
+        self.key, k = jax.random.split(self.key)
+        self.params, self.opt_state, metrics = self._step_fn(
+            self.params, self.opt_state, self.scene.device_arrays, k,
+            jnp.asarray(float(step)))
+        return {k_: float(np.asarray(v)) for k_, v in metrics.items()}
+
+    def eval(self, step: int) -> Dict[str, float]:
+        from endosurf_tpu.evaluation.render_eval import eval_frames
+        # The reference EndoNeRF eval renders ALL test frames
+        # (trainer_endonerf.py:157).
+        stats = eval_frames(
+            self, self.scene.list_test, step,
+            ray_chunk=self.train_cfg.get("eval", {}).get("ray_batch", 2048),
+            save_dir_name="eval")
+        if self.writer is not None:
+            self.writer.add_scalars("eval", stats, step)
+        return stats
+
+    def eval_ray_transform(self, rays: np.ndarray, fid: int) -> np.ndarray:
+        """Write (gt depth, sigma) into ray slots 6/7 for eval rendering
+        (reference trainer_endonerf.py:163-165)."""
+        if not self.rspec.use_depth_sampling:
+            return rays
+        depth = np.asarray(
+            self.scene.device_arrays["depths"][fid]).reshape(-1, 1)
+        rays = rays.copy()
+        rays[:, 6:7] = depth
+        rays[:, 7] = self.rspec.depth_sampling_sigma
+        return rays
+
+    def render_fn(self, use_importance: bool = True):
+        spec, rspec = self.spec, self.rspec
+
+        @jax.jit
+        def fn(params, rays, step_f):
+            del step_f
+            return render_rays(spec, rspec, params, rays, key=None,
+                               want_normals=True)
+        return fn

@@ -40,12 +40,17 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
                     tx: optax.GradientTransformation, h: int, w: int,
                     ray_batch: int, loss_weights: Dict[str, float],
                     surf_neig_rad: float, mask_guided: bool = True,
-                    use_importance: bool = True, remat: bool = True):
+                    use_importance: bool = True, remat: bool = True,
+                    mesh=None):
     """Build the jitted training step.
 
     Terms with zero weight are compiled out entirely (the reference computes
     its expensive 128-step ray march even when the surface-neighbour weight is
     zeroed in the ablation configs).
+
+    With ``mesh`` (a 1-D ("data",) jax.sharding.Mesh) the sampled ray batch is
+    sharded across chips; the global masked-sum losses make XLA emit the psum
+    gradient reduction automatically.
     """
 
     def loss_fn(params, batch, step_f, key):
@@ -80,6 +85,9 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
         k_batch, k_loss = jax.random.split(key)
         batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
                                    mask_guided=mask_guided)
+        if mesh is not None:
+            from endosurf_tpu.parallel.mesh import shard_ray_batch
+            batch = shard_ray_batch(batch, mesh)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, step_f, k_loss)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -110,6 +118,11 @@ class EndoSurfTrainer(Trainer):
 
         self.loss_weights = {k: float(self.train_cfg.get(k, 0.0))
                              for k in LOSS_WEIGHT_KEYS}
+        self.mesh = None
+        par_cfg = cfg.get("parallel", {})
+        if par_cfg.get("data_parallel", False):
+            from endosurf_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(par_cfg.get("n_devices"))
         self._step_fns: Dict[bool, Any] = {}
 
     def _get_step_fn(self, use_importance: bool):
@@ -120,7 +133,7 @@ class EndoSurfTrainer(Trainer):
                 self.train_cfg.get("surf_neig_rad", 0.1),
                 mask_guided=self.train_cfg.get("mask_guided_ray_sampling",
                                                True),
-                use_importance=use_importance)
+                use_importance=use_importance, mesh=self.mesh)
         return self._step_fns[use_importance]
 
     def opt_state_template(self):

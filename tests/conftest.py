@@ -1,17 +1,22 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Must run before jax is imported anywhere, so the env vars live at module
-import time of conftest (pytest imports conftest first).
+The surrounding environment exports JAX_PLATFORMS=axon (tunneled TPU); plain
+os.environ overrides are not honored by the plugin discovery, so the platform
+is pinned via jax.config. XLA_FLAGS must still be set before jax initializes
+its backends.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
