@@ -55,24 +55,26 @@ def main():
     arrays = scene.device_arrays
     key = jax.random.PRNGKey(1)
 
-    # Warmup / compile.
+    # Warmup / compile. Synchronization: fetch a scalar to host — on the
+    # tunneled TPU platform block_until_ready returns prematurely, and the
+    # sequential params dependency means one final fetch fences all steps.
     import sys
     for i in range(3):
         key, k = jax.random.split(key)
         t = time.perf_counter()
         params, opt_state, metrics = step_fn(params, opt_state, arrays, k,
                                              jnp.asarray(float(i + 1)))
-        jax.block_until_ready(metrics)
-        print(f"# warmup {i}: {time.perf_counter() - t:.1f}s",
+        loss = float(np.asarray(metrics["loss_total"]))
+        print(f"# warmup {i}: {time.perf_counter() - t:.1f}s loss={loss:.4f}",
               file=sys.stderr, flush=True)
 
-    n_steps = 20
+    n_steps = 50
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, k = jax.random.split(key)
         params, opt_state, metrics = step_fn(params, opt_state, arrays, k,
                                              jnp.asarray(float(i + 4)))
-    jax.block_until_ready(metrics)
+    float(np.asarray(metrics["loss_total"]))  # host fetch = pipeline fence
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_steps * ray_batch / dt

@@ -1,0 +1,59 @@
+"""CLI: python -m endosurf_tpu --cfg <yaml> --mode <mode>
+
+Mode surface matches the reference trainers' __main__ dispatch
+(trainer_endosurf.py:557-588):
+  train    — run/resume training
+  test     — demo on the test split (2D + 3D)
+  test_2d  — test split, view synthesis only
+  test_3d  — test split, mesh extraction only
+  demo     — all frames, 2D + 3D
+  demo_2d  — all frames, view synthesis only
+  demo_3d  — all frames, mesh extraction only
+The model family is selected by the config's render.type
+(endosurf | endonerf), so one CLI covers both verticals.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_trainer(cfg, mode):
+    render_type = cfg["render"].get("type", "endosurf")
+    if render_type == "endosurf":
+        from endosurf_tpu.train.trainer_endosurf import EndoSurfTrainer
+        return EndoSurfTrainer(cfg, mode)
+    elif render_type == "endonerf":
+        from endosurf_tpu.train.trainer_endonerf import EndoNeRFTrainer
+        return EndoNeRFTrainer(cfg, mode)
+    raise ValueError(f"unknown render type {render_type!r}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--cfg", required=True, help="config yaml path")
+    parser.add_argument(
+        "--mode", default="train",
+        choices=["train", "test", "test_2d", "test_3d",
+                 "demo", "demo_2d", "demo_3d"])
+    args = parser.parse_args()
+
+    from endosurf_tpu.config import load_config
+    cfg = load_config(args.cfg)
+    trainer = build_trainer(cfg, args.mode)
+
+    if args.mode == "train":
+        trainer.start()
+        return
+
+    step = trainer.step_start - 1
+    test_mode = args.mode.startswith("test")
+    suffix = args.mode.split("_")[-1]
+    demo_2d = suffix in ("test", "demo", "2d")
+    demo_3d = suffix in ("test", "demo", "3d")
+    trainer.demo(step, test_mode=test_mode, visualize=True,
+                 demo_2d=demo_2d, demo_3d=demo_3d)
+
+
+if __name__ == "__main__":
+    main()

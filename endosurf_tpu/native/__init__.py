@@ -11,5 +11,6 @@ from endosurf_tpu.native.meshops import (  # noqa: F401
     marching_tetrahedra,
     point_cloud_distance,
     radius_outlier_mask,
+    rasterize_mesh,
     vertex_normals,
 )

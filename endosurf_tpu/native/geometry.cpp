@@ -441,6 +441,57 @@ void esn_point_cloud_distance(const float* src, int n_src, const float* dst,
   }
 }
 
+// ---- software rasterizer ------------------------------------------------------
+// Z-buffer triangle rasterization with barycentric color interpolation.
+// Screen-space inputs: verts = [n_verts, 3] (x_pix, y_pix, depth), colors =
+// [n_verts, 3] in [0,1]. Replaces the reference's Open3D offscreen mesh
+// screenshots (trainer/utils.py:280-311) for demo videos.
+void esn_rasterize_mesh(const float* verts, int n_verts, const float* colors,
+                        const int32_t* tris, int n_tris, int width,
+                        int height, float* rgb_out /* h*w*3, prefilled bg */,
+                        float* z_out /* h*w, prefilled +inf */) {
+  (void)n_verts;
+  for (int i = 0; i < n_tris; ++i) {
+    const float* a = verts + 3 * tris[3 * i];
+    const float* b = verts + 3 * tris[3 * i + 1];
+    const float* c = verts + 3 * tris[3 * i + 2];
+    // Back/offscreen culling by bbox.
+    float xmin = std::min({a[0], b[0], c[0]});
+    float xmax = std::max({a[0], b[0], c[0]});
+    float ymin = std::min({a[1], b[1], c[1]});
+    float ymax = std::max({a[1], b[1], c[1]});
+    int x0 = std::max(0, (int)std::floor(xmin));
+    int x1 = std::min(width - 1, (int)std::ceil(xmax));
+    int y0 = std::max(0, (int)std::floor(ymin));
+    int y1 = std::min(height - 1, (int)std::ceil(ymax));
+    if (x0 > x1 || y0 > y1) continue;
+    float denom = (b[1] - c[1]) * (a[0] - c[0])
+                  + (c[0] - b[0]) * (a[1] - c[1]);
+    if (std::fabs(denom) < 1e-12f) continue;
+    const float* ca = colors + 3 * tris[3 * i];
+    const float* cb = colors + 3 * tris[3 * i + 1];
+    const float* cc = colors + 3 * tris[3 * i + 2];
+    for (int y = y0; y <= y1; ++y) {
+      for (int x = x0; x <= x1; ++x) {
+        float px = x + 0.5f, py = y + 0.5f;
+        float w0 = ((b[1] - c[1]) * (px - c[0])
+                    + (c[0] - b[0]) * (py - c[1])) / denom;
+        float w1 = ((c[1] - a[1]) * (px - c[0])
+                    + (a[0] - c[0]) * (py - c[1])) / denom;
+        float w2 = 1.f - w0 - w1;
+        if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+        float z = w0 * a[2] + w1 * b[2] + w2 * c[2];
+        float* zp = z_out + y * width + x;
+        if (z >= *zp || z <= 0) continue;
+        *zp = z;
+        float* px_out = rgb_out + 3 * (y * width + x);
+        for (int k = 0; k < 3; ++k)
+          px_out[k] = w0 * ca[k] + w1 * cb[k] + w2 * cc[k];
+      }
+    }
+  }
+}
+
 void esn_radius_outlier_mask(const float* pts, int n_pts, int min_neighbors,
                              float radius, uint8_t* keep_out) {
   KDTree tree;

@@ -99,6 +99,30 @@ def point_cloud_distance(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     return out
 
 
+def rasterize_mesh(verts_screen: np.ndarray, colors: np.ndarray,
+                   tris: np.ndarray, width: int, height: int,
+                   background: float = 1.0) -> np.ndarray:
+    """Z-buffer rasterize a mesh given screen-space vertices.
+
+    Args:
+      verts_screen: [N,3] (x_pixel, y_pixel, depth>0).
+      colors: [N,3] in [0,1].
+      tris: [M,3] int.
+
+    Returns: [height, width, 3] float image (background where no triangle).
+    """
+    lib = load_library()
+    verts_screen = np.ascontiguousarray(verts_screen, np.float32)
+    colors = np.ascontiguousarray(colors, np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    rgb = np.full((height, width, 3), background, np.float32)
+    zbuf = np.full((height, width), np.inf, np.float32)
+    lib.esn_rasterize_mesh(_f32p(verts_screen), len(verts_screen),
+                           _f32p(colors), _i32p(tris), len(tris),
+                           int(width), int(height), _f32p(rgb), _f32p(zbuf))
+    return rgb
+
+
 def radius_outlier_mask(pts: np.ndarray, min_neighbors: int,
                         radius: float) -> np.ndarray:
     """Keep-mask for radius outlier removal (Open3D remove_radius_outlier

@@ -145,3 +145,36 @@ class EndoNeRFTrainer(Trainer):
             return render_rays(spec, rspec, params, rays, key=None,
                                want_normals=True)
         return fn
+
+    def demo_field_fn(self):
+        """Negated density field so 'inside = value < iso' holds for the
+        marching-tetrahedra convention (reference extracts density > thresh,
+        endonerf.py:227-238)."""
+        from endosurf_tpu.models.endonerf import density_observed
+        spec, params = self.spec, self.params
+
+        def fn(pts, t):
+            return -density_observed(spec, params, pts, t)
+        return fn
+
+    def demo_field_threshold(self, thresh: float) -> float:
+        return -float(thresh)
+
+    def render_points_fn(self):
+        """Surface-point coloring (reference renderonpts, endonerf.py:240-258)."""
+        from endosurf_tpu.models.endonerf import field_eval
+        spec = self.spec
+
+        @jax.jit
+        def fn(params, pts, dirs, t):
+            rgb, _ = field_eval(spec, params, pts, dirs, t)
+            return rgb
+
+        params = self.params
+        return lambda pts, dirs, t: fn(params, jnp.asarray(pts),
+                                       jnp.asarray(dirs), jnp.asarray(t))
+
+    def demo(self, step: int, test_mode: bool = False, visualize: bool = True,
+             demo_2d: bool = True, demo_3d: bool = True):
+        from endosurf_tpu.evaluation.demo import run_demo
+        return run_demo(self, step, test_mode, visualize, demo_2d, demo_3d)

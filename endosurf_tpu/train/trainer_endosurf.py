@@ -176,3 +176,34 @@ class EndoSurfTrainer(Trainer):
             return render_rays(self.spec, self.rspec, params, rays, step_f,
                                key=None, use_importance=use_importance)
         return fn
+
+    def demo_field_fn(self):
+        """Scalar field for isosurface extraction: observed-space SDF
+        (reference extract_observation_geometry, endosurf.py:490-500)."""
+        from endosurf_tpu.models.fields import sdf_observed
+        spec, params = self.spec, self.params
+
+        def fn(pts, t):
+            return sdf_observed(spec, params, pts, t)
+        return fn
+
+    def demo_field_threshold(self, thresh: float) -> float:
+        return float(thresh)  # SDF: inside where sdf < thresh
+
+    def render_points_fn(self):
+        """Surface-point coloring (reference renderonpts, endosurf.py:502-521)."""
+        from endosurf_tpu.models.fields import fused_point_eval
+        spec = self.spec
+
+        @jax.jit
+        def fn(params, pts, dirs, t):
+            return fused_point_eval(spec, params, pts, dirs, t)["color"]
+
+        params = self.params
+        return lambda pts, dirs, t: fn(params, jnp.asarray(pts),
+                                       jnp.asarray(dirs), jnp.asarray(t))
+
+    def demo(self, step: int, test_mode: bool = False, visualize: bool = True,
+             demo_2d: bool = True, demo_3d: bool = True):
+        from endosurf_tpu.evaluation.demo import run_demo
+        return run_demo(self, step, test_mode, visualize, demo_2d, demo_3d)

@@ -1,0 +1,64 @@
+"""Demo-mode smoke test: meshes, PLYs, geometric error, videos, PLY IO."""
+
+import glob
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from endosurf_tpu.data.scene_data import SceneData, make_synthetic_scene
+from endosurf_tpu.train.trainer_endosurf import EndoSurfTrainer
+from endosurf_tpu.utils.ply import read_ply, write_ply
+from tests.test_train_smoke import tiny_cfg
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    verts = rng.normal(size=(10, 3)).astype(np.float32)
+    tris = rng.integers(0, 10, size=(5, 3)).astype(np.int32)
+    colors = rng.uniform(0, 1, size=(10, 3)).astype(np.float32)
+
+    p1 = str(tmp_path / "mesh.ply")
+    write_ply(p1, verts, tris, colors)
+    v, t, c = read_ply(p1)
+    np.testing.assert_allclose(v, verts, rtol=1e-6)
+    np.testing.assert_array_equal(t, tris)
+    np.testing.assert_allclose(c / 255.0, colors, atol=1 / 255.0)
+
+    p2 = str(tmp_path / "pcd.ply")
+    write_ply(p2, verts)
+    v2, t2, c2 = read_ply(p2)
+    np.testing.assert_allclose(v2, verts)
+    assert t2 is None and c2 is None
+
+
+def test_demo_end_to_end(tmp_path, tmp_path_factory):
+    d = tmp_path_factory.mktemp("demo_scene")
+    pkl = make_synthetic_scene(str(d), n_frames=4, h=20, w=24)
+    scene = SceneData.load(pkl)
+    cfg = tiny_cfg(str(tmp_path), n_iter=2)
+    trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
+    trainer.train_step(1)
+
+    stats = trainer.demo(1, test_mode=True, visualize=True,
+                         demo_2d=True, demo_3d=True)
+    assert "psnr_rgb_vr" in stats
+    assert "geo_err_mean" in stats and np.isfinite(stats["geo_err_mean"])
+
+    base = osp.join(trainer.exp_dir, "demo", "iter_00000001")
+    assert glob.glob(osp.join(base, "test_2d", "*_all.png"))
+    assert osp.exists(osp.join(base, "test_2d", "demo.mp4"))
+    assert osp.exists(osp.join(base, "test_2d", "stats_out.txt"))
+    d3 = glob.glob(osp.join(base, "test_3d_*"))
+    assert d3
+    plys = glob.glob(osp.join(d3[0], "*_geometry.ply"))
+    assert plys
+    v, t, _ = read_ply(plys[0])
+    assert len(v) > 0 and len(t) > 0
+    # Mesh screenshots rendered by the native rasterizer.
+    assert glob.glob(osp.join(d3[0], "*_color.png"))
+    assert osp.exists(osp.join(base, "test_final", "demo.mp4"))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
