@@ -9,6 +9,7 @@ from endosurf_tpu.native.meshops import (  # noqa: F401
     clean_mesh,
     laplacian_smooth,
     marching_tetrahedra,
+    nn_distance_excl_self,
     point_cloud_distance,
     radius_outlier_mask,
     rasterize_mesh,

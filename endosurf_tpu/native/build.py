@@ -69,6 +69,7 @@ def load_library() -> ctypes.CDLL:
         f32p, ctypes.c_int, f32p, ctypes.c_int, f32p]
     lib.esn_radius_outlier_mask.argtypes = [
         f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, u8p]
+    lib.esn_nn_distance_excl_self.argtypes = [f32p, ctypes.c_int, f32p]
     lib.esn_rasterize_mesh.argtypes = [
         f32p, ctypes.c_int, f32p, i32p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, f32p, f32p]

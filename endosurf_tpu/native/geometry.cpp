@@ -309,6 +309,34 @@ struct KDTree {
     if (diff * diff < *best_d2) nearest(q, second, best_d2);
   }
 
+  // Two smallest squared distances (best2 >= best1); excluding-self queries
+  // read best2 when best1 == 0.
+  void nearest2(const float* q, int node, float* best1, float* best2) const {
+    const Node& nd = nodes[node];
+    if (nd.axis < 0) {
+      for (int i = nd.begin; i < nd.end; ++i) {
+        const float* p = pts + 3 * order[i];
+        float d2 = 0;
+        for (int a = 0; a < 3; ++a) {
+          float d = p[a] - q[a];
+          d2 += d * d;
+        }
+        if (d2 < *best1) {
+          *best2 = *best1;
+          *best1 = d2;
+        } else if (d2 < *best2) {
+          *best2 = d2;
+        }
+      }
+      return;
+    }
+    float diff = q[nd.axis] - nd.split;
+    int first = diff < 0 ? nd.left : nd.right;
+    int second = diff < 0 ? nd.right : nd.left;
+    nearest2(q, first, best1, best2);
+    if (diff * diff < *best2) nearest2(q, second, best1, best2);
+  }
+
   int count_within(const float* q, int node, float r2, int stop_at) const {
     const Node& nd = nodes[node];
     if (nd.axis < 0) {
@@ -438,6 +466,21 @@ void esn_point_cloud_distance(const float* src, int n_src, const float* dst,
     float best = 1e30f;
     tree.nearest(src + 3 * i, 0, &best);
     out_dists[i] = std::sqrt(best);
+  }
+}
+
+// Mean distance to the nearest OTHER point (Open3D
+// compute_nearest_neighbor_distance equivalent; used by preprocessing to set
+// the outlier-removal radius, data/endonerf/preprocess.py:79-80).
+void esn_nn_distance_excl_self(const float* pts, int n_pts,
+                               float* out_dists) {
+  KDTree tree;
+  tree.build(pts, n_pts);
+  for (int i = 0; i < n_pts; ++i) {
+    float best1 = 1e30f, best2 = 1e30f;
+    tree.nearest2(pts + 3 * i, 0, &best1, &best2);
+    // best1 is the self-distance (0); best2 the true neighbor.
+    out_dists[i] = std::sqrt(best1 > 1e-24f ? best1 : best2);
   }
 }
 

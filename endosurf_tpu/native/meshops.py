@@ -99,6 +99,16 @@ def point_cloud_distance(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     return out
 
 
+def nn_distance_excl_self(pts: np.ndarray) -> np.ndarray:
+    """Distance from each point to its nearest other point (Open3D
+    compute_nearest_neighbor_distance equivalent)."""
+    lib = load_library()
+    pts = np.ascontiguousarray(pts, np.float32)
+    out = np.empty(len(pts), np.float32)
+    lib.esn_nn_distance_excl_self(_f32p(pts), len(pts), _f32p(out))
+    return out
+
+
 def rasterize_mesh(verts_screen: np.ndarray, colors: np.ndarray,
                    tris: np.ndarray, width: int, height: int,
                    background: float = 1.0) -> np.ndarray:
