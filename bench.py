@@ -30,7 +30,7 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from __graft_entry__ import _synthetic_arrays
+    from endosurf_tpu.data.scene_data import make_synthetic_arrays as _synthetic_arrays
     from endosurf_tpu.models.endosurf import RenderSpec
     from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
     from endosurf_tpu.train.schedules import warmup_cosine

@@ -223,6 +223,50 @@ class SceneData:
             intrinsics=intrinsics, poses=poses, device_arrays=device_arrays)
 
 
+    # ------------------------------------------------------------------
+    # debugging
+    # ------------------------------------------------------------------
+
+    def export_debug_geometry(self, out_dir: str,
+                              downsample: float = 0.1) -> None:
+        """Write scene geometry to PLYs for external inspection.
+
+        Non-interactive equivalent of the reference's Open3D vis_dataset
+        (dataset.py:182-214): merged RGBD point cloud, camera centers, and a
+        unit-sphere shell, each as a PLY viewable in MeshLab etc.
+        """
+        import os
+
+        from endosurf_tpu.evaluation.geometry3d import rgbd_to_pointcloud
+        from endosurf_tpu.utils.ply import write_ply
+
+        os.makedirs(out_dir, exist_ok=True)
+        rng = np.random.default_rng(0)
+        pts_all, col_all = [], []
+        colors = np.asarray(self.device_arrays["colors"])
+        depths = np.asarray(self.device_arrays["depths"])
+        for i in range(self.n_frames):
+            pts, col = rgbd_to_pointcloud(
+                colors[i], depths[i], self.intrinsics[i][:3, :3],
+                self.poses[i], self.far)
+            keep = rng.uniform(size=len(pts)) < downsample
+            pts_all.append(pts[keep])
+            col_all.append(col[keep])
+        write_ply(osp.join(out_dir, "pointcloud.ply"),
+                  np.concatenate(pts_all), colors=np.concatenate(col_all))
+        cams = self.poses[:, :3, 3]
+        cam_col = np.zeros((len(cams), 3), np.float32)
+        cam_col[:, 0] = 1.0
+        write_ply(osp.join(out_dir, "cameras.ply"), cams, colors=cam_col)
+        u = np.linspace(0, np.pi, 32)
+        v = np.linspace(0, 2 * np.pi, 64)
+        uu, vv = np.meshgrid(u, v)
+        sphere = np.stack([np.sin(uu) * np.cos(vv), np.sin(uu) * np.sin(vv),
+                           np.cos(uu)], -1).reshape(-1, 3)
+        write_ply(osp.join(out_dir, "unit_sphere.ply"),
+                  sphere.astype(np.float32))
+
+
 # ---------------------------------------------------------------------------
 # jit-side sampling / ray construction
 # ---------------------------------------------------------------------------
@@ -278,8 +322,34 @@ def frame_rays(arrays: Dict[str, jnp.ndarray], h: int, w: int,
 
 
 # ---------------------------------------------------------------------------
-# synthetic scene (tests / benchmarks; no real capture data required)
+# synthetic scenes (tests / benchmarks; no real capture data required)
 # ---------------------------------------------------------------------------
+
+def make_synthetic_arrays(n_frames: int = 4, h: int = 16, w: int = 16,
+                          seed: int = 0) -> "SceneData":
+    """In-memory random-content SceneData (no file IO) for dry runs and
+    throughput benchmarks where image content is irrelevant."""
+    rng = np.random.default_rng(seed)
+    colors = rng.uniform(0, 1, (n_frames, h, w, 3)).astype(np.float32)
+    depths = rng.uniform(1.4, 2.4, (n_frames, h, w, 1)).astype(np.float32)
+    color_masks = np.ones((n_frames, h, w, 1), np.float32)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 0.8 * w
+    K[0, 2], K[1, 2] = w / 2, h / 2
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.0
+    ids = np.arange(n_frames)
+    return SceneData.from_arrays(
+        dset_name="synthetic", scene_name="arrays",
+        colors=colors, depths=depths, color_masks=color_masks,
+        intrinsics=np.tile(K, (n_frames, 1, 1)),
+        poses=np.tile(pose, (n_frames, 1, 1)),
+        bounds=np.tile(np.array([1.0, 3.0], np.float32), (n_frames, 1)),
+        bbox_minmax=np.tile(
+            np.array([[-1, 1], [-1, 1], [-1, 1]], np.float32),
+            (n_frames, 1, 1)),
+        list_train=ids[:-1], list_test=ids[-1:], depth_scale=100.0)
+
 
 def make_synthetic_scene(out_dir: str, n_frames: int = 8, h: int = 48,
                          w: int = 64, deform_amp: float = 0.1,

@@ -89,6 +89,19 @@ def run_demo(trainer, step: int, test_mode: bool = False,
             trainer.render_fn(), trainer.params, arrays, scene.h, scene.w,
             fids, step, ray_chunk,
             ray_transform=getattr(trainer, "eval_ray_transform", None))
+        depth_filter = cfg.get("depth_filter")
+        if depth_filter not in ("None", None):
+            # Demo-only depth smoothing (reference trainer_endonerf.py:288).
+            from endosurf_tpu.evaluation.vis import filter_depth
+            pred["depth"] = filter_depth(pred["depth"], depth_filter)
+        if ("normal" not in pred
+                and getattr(trainer, "normals_from_depth", False)):
+            from endosurf_tpu.data.scene_data import frame_rays
+            from endosurf_tpu.evaluation.vis import normal_from_depth
+            rays = np.stack([
+                np.asarray(frame_rays(arrays, scene.h, scene.w, f))
+                for f in fids])
+            pred["normal"] = normal_from_depth(rays, pred["depth"])
         stats.update({
             "psnr_rgb_vr": cal_psnr(rgb_gt, pred["rgb"], color_mask_gt),
             "ssim_rgb_vr": cal_ssim(rgb_gt, pred["rgb"], color_mask_gt),

@@ -85,6 +85,11 @@ def eval_frames(trainer, fids: Sequence[int], step: int,
     pred = render_full_frames(
         render_fn, trainer.params, arrays, scene.h, scene.w, fids, step,
         ray_chunk, ray_transform=getattr(trainer, "eval_ray_transform", None))
+    if "normal" not in pred and getattr(trainer, "normals_from_depth", False):
+        from endosurf_tpu.evaluation.vis import normal_from_depth
+        rays = np.stack([np.asarray(frame_rays(arrays, scene.h, scene.w, f))
+                         for f in fids])
+        pred["normal"] = normal_from_depth(rays, pred["depth"])
 
     rgb_gt = np.asarray(arrays["colors"])[fids]
     depth_gt = np.asarray(arrays["depths"])[fids]

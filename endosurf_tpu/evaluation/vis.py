@@ -50,6 +50,41 @@ def normal_to_show(normal_world: np.ndarray, poses: np.ndarray) -> np.ndarray:
     return np.uint8((cam * 128 + 128).clip(0, 255))
 
 
+def normal_from_depth(rays: np.ndarray, depths: np.ndarray) -> np.ndarray:
+    """Cross-product normals from a depth map (utils.py:314-335).
+
+    rays: [n,H,W,9]; depths: [n,H,W,1]. Returns camera-facing normal images
+    [n,H,W,3] (zero border padding), already negated like the reference.
+    """
+    rays = np.asarray(rays)
+    depths = np.asarray(depths)
+    pts = rays[..., :3] + rays[..., 3:6] * depths
+    u = pts[:, 1:-1, :-2] - pts[:, 1:-1, 1:-1]
+    v = pts[:, :-2, 1:-1] - pts[:, 1:-1, 1:-1]
+    n = np.cross(u, v)
+    n = n / (np.linalg.norm(n, axis=-1, keepdims=True) + 1e-10)
+    out = np.zeros((*depths.shape[:-1], 3), np.float32)
+    out[:, 1:-1, 1:-1] = -n
+    return out
+
+
+def filter_depth(depth_stack: np.ndarray, params: Sequence[float]
+                 ) -> np.ndarray:
+    """Median + bilateral depth filtering for demo output (utils.py:236-243).
+
+    params = [d, sigma_color, sigma_space] as in the reference's
+    demo.depth_filter config entry.
+    """
+    import cv2
+    out = []
+    for d in np.asarray(depth_stack):
+        img = d[..., 0] if d.ndim == 3 else d
+        img = cv2.medianBlur(img, 3)
+        img = cv2.bilateralFilter(img, int(params[0]), params[1], params[2])
+        out.append(img)
+    return np.stack(out)[..., None]
+
+
 def hstack_labeled(images: Sequence[np.ndarray], labels: Sequence[str],
                    max_width: int = 6000) -> np.ndarray:
     import cv2

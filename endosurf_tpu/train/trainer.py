@@ -97,7 +97,19 @@ class Trainer:
         t0 = time.time()
         rays_done = 0
         ray_batch = self.train_cfg.get("ray_batch", 1024)
+        # Optional device profiling window (no reference equivalent):
+        # train.profile: {start: N, stop: M} captures a jax.profiler trace
+        # into <exp_dir>/profile for xprof/tensorboard inspection.
+        prof_cfg = self.train_cfg.get("profile") or {}
+        prof_start = prof_cfg.get("start", 0)
+        prof_stop = prof_cfg.get("stop", 0)
         for step in range(self.step_start, self.n_iter + 1):
+            if prof_start and step == prof_start:
+                import jax
+                jax.profiler.start_trace(osp.join(self.exp_dir, "profile"))
+            if prof_stop and step == prof_stop:
+                import jax
+                jax.profiler.stop_trace()
             if self.i_eval > 0 and (step == 1 or step % self.i_eval == 0
                                     or step == self.n_iter):
                 self.eval(step)

@@ -136,6 +136,11 @@ class EndoNeRFTrainer(Trainer):
         rays[:, 7] = self.rspec.depth_sampling_sigma
         return rays
 
+    # The reference derives display normals from the rendered depth map at
+    # eval/demo time (gen_normal_from_depth, trainer_endonerf.py:188,289)
+    # rather than from the much costlier density gradients.
+    normals_from_depth = True
+
     def render_fn(self, use_importance: bool = True):
         spec, rspec = self.spec, self.rspec
 
@@ -143,7 +148,7 @@ class EndoNeRFTrainer(Trainer):
         def fn(params, rays, step_f):
             del step_f
             return render_rays(spec, rspec, params, rays, key=None,
-                               want_normals=True)
+                               want_normals=False)
         return fn
 
     def demo_field_fn(self):

@@ -103,6 +103,13 @@ class EndoSurfTrainer(Trainer):
         self.spec = EndoSurfSpec.from_config(cfg["net"])
         self.rspec = RenderSpec.from_config(cfg["render"])
 
+        # TPU execution knobs (no reference equivalent): field-MLP matmul
+        # precision and backward-pass rematerialization.
+        from endosurf_tpu.ops.mlp import set_matmul_precision
+        set_matmul_precision(self.train_cfg.get("matmul_precision",
+                                                "highest"))
+        self.remat = bool(self.train_cfg.get("remat", True))
+
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)
         self.key, k_init = jax.random.split(self.key)
@@ -133,7 +140,8 @@ class EndoSurfTrainer(Trainer):
                 self.train_cfg.get("surf_neig_rad", 0.1),
                 mask_guided=self.train_cfg.get("mask_guided_ray_sampling",
                                                True),
-                use_importance=use_importance, mesh=self.mesh)
+                use_importance=use_importance, remat=self.remat,
+                mesh=self.mesh)
         return self._step_fns[use_importance]
 
     def opt_state_template(self):

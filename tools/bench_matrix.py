@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Throughput matrix: matmul precision x remat, on the default device.
+
+Measures the full EndoSurf training step (flagship config) like bench.py,
+sweeping the TPU execution knobs. Run on real TPU hardware:
+
+    python tools/bench_matrix.py
+"""
+
+import json
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+import sys
+import time
+
+import numpy as np
+
+
+def bench_variant(precision: str, remat: bool, n_steps: int = 30):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from endosurf_tpu.data.scene_data import make_synthetic_arrays as _synthetic_arrays
+    from endosurf_tpu.models.endosurf import RenderSpec
+    from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
+    from endosurf_tpu.ops.mlp import set_matmul_precision
+    from endosurf_tpu.train.schedules import warmup_cosine
+    from endosurf_tpu.train.trainer_endosurf import make_train_step
+
+    set_matmul_precision(precision)
+    scene = _synthetic_arrays(n_frames=8, h=512, w=640)
+    spec, rspec = EndoSurfSpec(), RenderSpec()
+    ray_batch = 1024
+    tx = optax.adam(warmup_cosine(5e-4, 5000, 100000, 0.05))
+    lw = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0,
+          "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
+          "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1}
+    step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w, ray_batch,
+                              lw, surf_neig_rad=0.1, remat=remat)
+    params = init_endosurf_params(jax.random.PRNGKey(0), spec)
+    opt_state = tx.init(params)
+    arrays = scene.device_arrays
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.perf_counter()
+    for i in range(3):
+        key, k = jax.random.split(key)
+        params, opt_state, metrics = step_fn(params, opt_state, arrays, k,
+                                             jnp.asarray(float(i + 1)))
+    loss0 = float(np.asarray(metrics["loss_total"]))
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, k = jax.random.split(key)
+        params, opt_state, metrics = step_fn(params, opt_state, arrays, k,
+                                             jnp.asarray(float(i + 4)))
+    loss = float(np.asarray(metrics["loss_total"]))  # fence
+    dt = time.perf_counter() - t0
+    return {
+        "precision": precision, "remat": remat,
+        "rays_per_sec": round(n_steps * ray_batch / dt, 1),
+        "step_ms": round(dt / n_steps * 1000, 2),
+        "compile_s": round(compile_s, 1),
+        "loss_finite": bool(np.isfinite(loss)),
+        "loss": round(loss, 4),
+    }
+
+
+def main():
+    results = []
+    for precision in ("highest", "default"):
+        for remat in (True, False):
+            try:
+                r = bench_variant(precision, remat)
+            except Exception as e:  # e.g. OOM without remat
+                r = {"precision": precision, "remat": remat,
+                     "error": repr(e)[:200]}
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    best = max((r for r in results if "rays_per_sec" in r),
+               key=lambda r: r["rays_per_sec"])
+    print("# best:", json.dumps(best), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
