@@ -169,6 +169,21 @@ def density_grad_observed(spec: DNeRFSpec, params: Params, x, t):
     return jax.vmap(point)(x, t)
 
 
+def render_on_depth(spec: DNeRFSpec, params: Params, rays: jnp.ndarray,
+                    depth: jnp.ndarray, valid: jnp.ndarray):
+    """Surface rendering at given depths (endonerf.py:198-225), masked:
+    color from the radiance field and normals from -grad density."""
+    rays_o, rays_d = rays[..., 0:3], rays[..., 3:6]
+    t = rays[..., 8:9]
+    rays_d_z = rays_d / (rays_d[..., 2:3] + 1e-5)
+    pts = rays_o + rays_d_z * depth
+    rgb, _ = field_eval(spec, params, pts, rays_d, t)
+    grad = -density_grad_observed(spec, params, pts, t)
+    normal = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
+    valid_f = valid.astype(pts.dtype)
+    return rgb * valid_f, normal * valid_f
+
+
 def raw2outputs(rgb, sigma, z_vals, rays_d):
     """Density compositing with disparity-normalized depth
     (endonerf.py:168-196)."""

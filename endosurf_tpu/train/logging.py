@@ -19,12 +19,24 @@ import numpy as np
 
 class MetricsWriter:
     def __init__(self, exp_dir: str, config: Optional[Dict[str, Any]] = None,
-                 use_tensorboard: bool = True):
+                 backend: str = "tensorboard", project: str = "",
+                 name: str = ""):
         self.log_dir = osp.join(exp_dir, "logs")
         os.makedirs(self.log_dir, exist_ok=True)
         self._jsonl = open(osp.join(self.log_dir, "metrics.jsonl"), "a")
         self._tb = None
-        if use_tensorboard:
+        self._wandb = None
+        if backend == "wandb":
+            # Optional backend, matching the reference writer's selection
+            # (trainer/utils.py:85-91); gated because wandb needs egress.
+            try:
+                import wandb
+                wandb.init(project=project or "endosurf_tpu", name=name,
+                           config=config, dir=self.log_dir)
+                self._wandb = wandb
+            except Exception:
+                backend = "tensorboard"
+        if backend == "tensorboard":
             try:
                 from tensorboardX import SummaryWriter
                 self._tb = SummaryWriter(self.log_dir)
@@ -40,6 +52,8 @@ class MetricsWriter:
             {"tag": tag, "value": v, "step": step, "t": time.time()}) + "\n")
         if self._tb is not None:
             self._tb.add_scalar(tag, v, step)
+        if self._wandb is not None:
+            self._wandb.log({tag: v}, step=step)
 
     def add_scalars(self, prefix: str, metrics: Dict[str, Any],
                     step: int) -> None:
@@ -49,6 +63,8 @@ class MetricsWriter:
     def add_image(self, tag: str, img: np.ndarray, step: int) -> None:
         if self._tb is not None:
             self._tb.add_image(tag, img, step, dataformats="HWC")
+        if self._wandb is not None:
+            self._wandb.log({tag: self._wandb.Image(img)}, step=step)
 
     def flush(self) -> None:
         self._jsonl.flush()

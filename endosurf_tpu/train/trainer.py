@@ -70,7 +70,11 @@ class Trainer:
                                            self.opt_state_template())
                 if restored is not None:
                     self.restore(restored)
-            self.writer = MetricsWriter(self.exp_dir, cfg)
+            writer_cfg = log_cfg.get("summary_writer", {})
+            self.writer = MetricsWriter(
+                self.exp_dir, cfg,
+                backend=writer_cfg.get("type", "tensorboard"),
+                project=self.proj_name, name=self.exp_name)
 
     # -- subclass interface -------------------------------------------------
     def setup(self) -> None:
@@ -103,7 +107,13 @@ class Trainer:
         prof_cfg = self.train_cfg.get("profile") or {}
         prof_start = prof_cfg.get("start", 0)
         prof_stop = prof_cfg.get("stop", 0)
-        for step in range(self.step_start, self.n_iter + 1):
+        try:
+            from tqdm import trange
+            step_iter = trange(self.step_start, self.n_iter + 1,
+                               desc="TRAIN", leave=True)
+        except ImportError:
+            step_iter = range(self.step_start, self.n_iter + 1)
+        for step in step_iter:
             if prof_start and step == prof_start:
                 import jax
                 jax.profiler.start_trace(osp.join(self.exp_dir, "profile"))
@@ -119,6 +129,14 @@ class Trainer:
 
             if self.writer is not None and (step % log_every == 0
                                             or step == 1):
+                # Metrics are device arrays; materialize them only at log
+                # points — a per-step host fetch would serialize the input
+                # pipeline against device round-trips.
+                metrics = {k: float(np.asarray(v))
+                           for k, v in metrics.items()}
+                if hasattr(step_iter, "set_description"):
+                    step_iter.set_description(
+                        f"TRAIN|loss:{metrics.get('loss_total', 0.0):.5g}|")
                 self.writer.add_scalars("train", metrics, step)
                 dt = time.time() - t0
                 self.writer.add_scalar("perf/rays_per_sec", rays_done / dt,

@@ -163,7 +163,7 @@ class EndoSurfTrainer(Trainer):
         self.params, self.opt_state, metrics = fn(
             self.params, self.opt_state, self.scene.device_arrays, k,
             jnp.asarray(float(step)))
-        return {k_: float(np.asarray(v)) for k_, v in metrics.items()}
+        return metrics  # device arrays; the loop materializes at log points
 
     def eval(self, step: int) -> Dict[str, float]:
         from endosurf_tpu.evaluation.render_eval import eval_frames
