@@ -62,7 +62,7 @@ def run(precision: str, steps: int, scene, tmp_root: str):
     return {"precision": precision, "steps": steps,
             "train_s": round(dt, 1),
             "rays_per_sec": round(steps * 1024 / dt, 1),
-            "final_train_psnr": round(last.get("psnr_color", float("nan")), 3),
+            "final_train_psnr": round(float(np.asarray(last.get("psnr_color", float("nan")))), 3),
             **{k: round(v, 4) for k, v in stats.items()}}
 
 
