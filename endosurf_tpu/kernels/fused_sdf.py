@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from endosurf_tpu.models.fields import EndoSurfSpec
 
-BLOCK_N = 512  # points per grid step; activations: 512x296 f32 ~ 0.6MB
+BLOCK_N = 512  # points per grid step; activations: 512x349 f32 ~ 0.7MB
 
 
 def _effective_layers(mlp_params: Dict[str, Any]) -> List[Tuple]:
