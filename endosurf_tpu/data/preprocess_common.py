@@ -9,7 +9,7 @@ matrix, normalized padded bboxes, and the (i-1) % test_every split.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import os.path as osp
 import pickle
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -141,7 +141,8 @@ def run_demo(trainer, step: int, test_mode: bool = False,
                       f"{tag}_3d_thresh_{thresh}_res_{mesh_resolution}")
         os.makedirs(d3, exist_ok=True)
         view_point = scene.poses[:, :3, 3].mean(0)
-        field_fn = trainer.demo_field_fn()
+        import jax
+        field_fn = jax.jit(trainer.demo_field_fn())  # one cache, all frames
         render_pts = trainer.render_points_fn()
         geo_errs = []
         for i, fid in enumerate(fids):

@@ -12,8 +12,7 @@ the geometric error at trainer_endosurf.py:472) with:
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +36,8 @@ def eval_field_grid(field_fn: Callable, t: float, bound_min: np.ndarray,
     out = np.empty((resolution,) * 3, np.float32)
 
     n_block = min(block, resolution)
-
-    @jax.jit
-    def run_block(pts, tt):
-        return field_fn(pts, tt)
+    # NOTE: field_fn should be jitted by the caller if it will be reused
+    # across frames — jitting here would build a fresh cache per call.
 
     t_full = None
     for x0 in range(0, resolution, n_block):
@@ -53,7 +50,7 @@ def eval_field_grid(field_fn: Callable, t: float, bound_min: np.ndarray,
         pts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
         if t_full is None or len(pts) != len(t_full):
             t_full = jnp.full((len(pts), 1), float(t), jnp.float32)
-        val = np.asarray(run_block(jnp.asarray(pts), t_full))
+        val = np.asarray(field_fn(jnp.asarray(pts), t_full))
         val = val.reshape(n_block, resolution, resolution)[
             : len(xs)]
         out[x0:x0 + len(xs)] = val

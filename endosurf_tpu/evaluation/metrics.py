@@ -10,7 +10,6 @@ this environment has no network egress to fetch them).
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np

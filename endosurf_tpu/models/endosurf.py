@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 from endosurf_tpu.models.fields import (
     EndoSurfSpec,
-    color_apply,
     fused_point_eval,
     inv_s,
     sdf_grad_observed,

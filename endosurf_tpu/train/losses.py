@@ -13,9 +13,8 @@ become XLA psums automatically).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 
 

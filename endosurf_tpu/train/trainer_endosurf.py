@@ -11,14 +11,13 @@ XLA program.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
-from endosurf_tpu.data.scene_data import SceneData, sample_train_batch
+from endosurf_tpu.data.scene_data import sample_train_batch
 from endosurf_tpu.models.endosurf import (
     RenderSpec,
     error_on_depth,

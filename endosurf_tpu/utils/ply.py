@@ -7,7 +7,6 @@ standard viewers like MeshLab to open them).
 
 from __future__ import annotations
 
-import struct
 from typing import Optional, Tuple
 
 import numpy as np

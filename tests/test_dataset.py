@@ -1,7 +1,6 @@
 """Tests for scene loading, synthetic scene generation, and batch sampling."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

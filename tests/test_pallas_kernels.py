@@ -1,7 +1,6 @@
 """Correctness tests for the fused Pallas SDF kernel (interpreter mode)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu

@@ -1,7 +1,5 @@
 """Multi-device tests on the 8-device virtual CPU mesh."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

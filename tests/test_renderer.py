@@ -5,7 +5,6 @@ sdf(x) = |x| - 0.8 at initialization, giving closed-form expectations for
 compositing depth and sphere tracing without any training.
 """
 
-import dataclasses
 import functools
 
 import jax

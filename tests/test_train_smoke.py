@@ -1,7 +1,6 @@
 """End-to-end smoke test: synthetic scene -> train steps -> eval -> resume."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -22,8 +22,6 @@ import numpy as np
 
 
 def run(precision: str, steps: int, scene, tmp_root: str):
-    import jax
-
     from endosurf_tpu.ops.mlp import set_matmul_precision
     from endosurf_tpu.train.trainer_endosurf import EndoSurfTrainer
 
