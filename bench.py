@@ -36,6 +36,9 @@ def main():
     from endosurf_tpu.train.schedules import warmup_cosine
     from endosurf_tpu.train.trainer_endosurf import make_train_step
 
+    from endosurf_tpu.ops.mlp import set_matmul_precision
+    set_matmul_precision("high")  # shipping default (see PARITY.md)
+
     scene = _synthetic_arrays(n_frames=8, h=512, w=640)
 
     spec = EndoSurfSpec()
@@ -48,7 +51,7 @@ def main():
         "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1,
     }
     step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w, ray_batch,
-                              loss_weights, surf_neig_rad=0.1)
+                              loss_weights, surf_neig_rad=0.1, remat=False)
 
     params = init_endosurf_params(jax.random.PRNGKey(0), spec)
     opt_state = tx.init(params)

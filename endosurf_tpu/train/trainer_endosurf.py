@@ -104,10 +104,14 @@ class EndoSurfTrainer(Trainer):
 
         # TPU execution knobs (no reference equivalent): field-MLP matmul
         # precision and backward-pass rematerialization.
+        # Measured on TPU v5e (tools/bench_matrix.py, tools/
+        # quality_precision.py): "high" (bf16x3) matches f32 quality at
+        # ~1.6x the step rate; "default" (bf16) gives ~2.4x at ~1dB train
+        # PSNR / ~12% depth-RMSE cost; "highest" is exact f32 for strict
+        # parity runs. Remat off: the flagship step fits HBM comfortably.
         from endosurf_tpu.ops.mlp import set_matmul_precision
-        set_matmul_precision(self.train_cfg.get("matmul_precision",
-                                                "highest"))
-        self.remat = bool(self.train_cfg.get("remat", True))
+        set_matmul_precision(self.train_cfg.get("matmul_precision", "high"))
+        self.remat = bool(self.train_cfg.get("remat", False))
 
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)
