@@ -111,6 +111,20 @@ def test_resume(tmp_path, scene):
     assert t2.step_start == 4
 
 
+def test_loss_decreases(tmp_path, scene):
+    """~60 steps on the tiny model must show a real downward loss trend."""
+    cfg = tiny_cfg(str(tmp_path), n_iter=60)
+    cfg["train"]["optim"]["warm_up_end"] = 5
+    trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
+    losses = []
+    for step in range(1, 61):
+        m = trainer.train_step(step)
+        losses.append(float(np.asarray(m["loss_total"])))
+    first = np.mean(losses[:10])
+    last = np.mean(losses[-10:])
+    assert last < 0.8 * first, (first, last)
+
+
 def test_ablation_zero_weights_compile_out(tmp_path, scene):
     cfg = tiny_cfg(str(tmp_path), n_iter=2)
     cfg["train"]["surf_neig_loss_weight"] = 0.0
