@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from endosurf_tpu.ops.geometry import rays_from_pixels
-from endosurf_tpu.ops.pdf import inverse_cdf_sample
+from endosurf_tpu.ops.pdf import sample_from_cdf
 
 
 def decompose_projection(P: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -194,6 +194,10 @@ class SceneData:
         sample_w = (color_masks * (importance + 1e-5)).reshape(n_frames, -1)
         uniform_w = color_masks.reshape(n_frames, -1)
 
+        def norm_cdf(w):
+            cdf = np.cumsum(w + 1e-12, axis=-1)
+            return (cdf / cdf[:, -1:]).astype(np.float32)
+
         if normalize_time:
             ts = np.linspace(0.0, 1.0, n_frames, dtype=np.float32)
         else:
@@ -209,6 +213,10 @@ class SceneData:
             "depth_masks": jnp.asarray(depth_masks, jnp.float32),
             "sample_w": jnp.asarray(sample_w, jnp.float32),
             "uniform_w": jnp.asarray(uniform_w, jnp.float32),
+            # Precomputed pixel-sampling CDFs: turns per-step sampling into
+            # log2(H*W) binary-search gathers instead of a cumsum + compare.
+            "sample_cdf": jnp.asarray(norm_cdf(sample_w)),
+            "uniform_cdf": jnp.asarray(norm_cdf(uniform_w)),
             "intrinsics_inv": jnp.asarray(intrinsics_inv),
             "poses": jnp.asarray(poses, jnp.float32),
             "bounds": jnp.asarray(bounds, jnp.float32),
@@ -283,8 +291,8 @@ def sample_train_batch(arrays: Dict[str, jnp.ndarray], h: int, w: int,
     list_train = arrays["list_train"]
     fid = list_train[jax.random.randint(k_frame, (), 0, list_train.shape[0])]
 
-    weights = (arrays["sample_w"] if mask_guided else arrays["uniform_w"])[fid]
-    pix = inverse_cdf_sample(weights, ray_batch, k_pix)  # [B] flat indices
+    cdf = (arrays["sample_cdf"] if mask_guided else arrays["uniform_cdf"])[fid]
+    pix = sample_from_cdf(cdf, ray_batch, k_pix)  # [B] flat indices
 
     py = (pix // w).astype(jnp.float32)
     px = (pix % w).astype(jnp.float32)

@@ -94,8 +94,8 @@ def main():
     t0 = time.perf_counter()
     for step in range(1, steps + 1):
         m = trainer.train_step(step)
+    train_psnr = float(np.asarray(m["psnr_color"]))  # host fetch = fence
     train_s = time.perf_counter() - t0
-    train_psnr = float(np.asarray(m["psnr_color"]))
 
     eval_stats = trainer.eval(steps)
     demo_stats = trainer.demo(steps, test_mode=True, visualize=False,
