@@ -36,7 +36,15 @@ def main():
         "--mode", default="train",
         choices=["train", "test", "test_2d", "test_3d",
                  "demo", "demo_2d", "demo_3d"])
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the jax platform (some environments pin a platform "
+             "plugin that plain env vars cannot override)")
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from endosurf_tpu.config import load_config
     cfg = load_config(args.cfg)

@@ -30,6 +30,7 @@ def _to_host(tree):
 def save_checkpoint(exp_dir: str, step: int, params: Dict[str, Any],
                     opt_state: Any) -> str:
     """Atomically save {params, opt_state, n_iter}; keep previous as backup."""
+    exp_dir = osp.abspath(exp_dir)  # orbax requires absolute paths
     ckpt_dir = osp.join(exp_dir, CKPT_NAME)
     backup_dir = osp.join(exp_dir, BACKUP_NAME)
     tmp_dir = osp.join(exp_dir, CKPT_NAME + ".tmp")
@@ -53,7 +54,7 @@ def load_checkpoint(exp_dir: str,
                     ) -> Optional[Dict[str, Any]]:
     """Restore the latest checkpoint (falling back to the backup copy)."""
     for name in (CKPT_NAME, BACKUP_NAME):
-        path = osp.join(exp_dir, name)
+        path = osp.join(osp.abspath(exp_dir), name)
         if osp.exists(path):
             restored = ocp.PyTreeCheckpointer().restore(path)
             if opt_state_template is not None:

@@ -1,0 +1,91 @@
+"""End-to-end CLI tests: train then test via ``python -m endosurf_tpu``."""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+from endosurf_tpu.data.scene_data import make_synthetic_scene
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def cli(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable, "-m", "endosurf_tpu", *args, "--platform", "cpu"],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=900)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    pkl = make_synthetic_scene(str(d / "scene"), n_frames=4, h=20, w=24)
+    cfg = {
+        "exp": {"project_name": "cli", "exp_name": "t", "exp_dir": "logs/",
+                "seed": 0},
+        "data": {"info_dir": pkl, "normalize_time": True},
+        "render": {"type": "endosurf", "anneal_end": 10, "n_samples": 6,
+                   "n_importance": 6, "important_begin_iter": 0,
+                   "up_sample_steps": 2, "perturb": True},
+        "train": {"n_iter": 3, "ray_batch": 24,
+                  "mask_guided_ray_sampling": True,
+                  "color_loss_weight": 1.0, "depth_loss_weight": 1.0,
+                  "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
+                  "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1,
+                  "surf_neig_rad": 0.1, "resume": False,
+                  "optim": {"lr": 5e-4, "lr_alpha": 0.05, "warm_up_end": 2},
+                  "eval": {"ray_chunk": 240}},
+        "net": {"bound": 1.0, "use_deform": True,
+                "deform_network": {
+                    "enc_pos_cfg": {"multires": 2},
+                    "enc_time_cfg": {"multires": 2},
+                    "n_layers": 2, "hidden_dim": 32, "skips": [],
+                    "out_dim": 3},
+                "sdf_network": {
+                    "enc_pos_cfg": {"multires": 2}, "n_layers": 2,
+                    "hidden_dim": 32, "skips": [], "out_dim": 17,
+                    "geometric_init": True, "geometric_init_bias": 0.5},
+                "color_network": {
+                    "enc_pos_cfg": {"multires": 2},
+                    "enc_dir_cfg": {"multires": 2},
+                    "n_layers": 2, "hidden_dim": 32, "skips": [],
+                    "feat_dim": 16, "out_dim": 3},
+                "deviation_network": {"init_val": 0.3}},
+        "log": {"summary_writer": {"type": "tensorboard"},
+                "i_eval": 0, "i_save": 3},
+        "demo": {"fps": 4, "ray_batch": 240, "net_chunk": 4096,
+                 "marching_cubes_resolution": 24, "marching_cubes_thresh": 0},
+    }
+    cfg_path = d / "cfg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return d, str(cfg_path)
+
+
+def test_cli_train(workdir):
+    d, cfg_path = workdir
+    r = cli(["--cfg", cfg_path, "--mode", "train"], cwd=str(d))
+    assert r.returncode == 0, r.stderr[-3000:]
+    exp = d / "logs" / "cli" / "t-synthetic-pulsating_sphere"
+    assert (exp / "ckpt").exists()
+    assert (exp / "cfg.yml").exists()
+    assert (exp / "logs" / "metrics.jsonl").exists()
+
+
+def test_cli_test_mode(workdir):
+    d, cfg_path = workdir
+    r = cli(["--cfg", cfg_path, "--mode", "test_2d"], cwd=str(d))
+    assert r.returncode == 0, r.stderr[-3000:]
+    exp = d / "logs" / "cli" / "t-synthetic-pulsating_sphere"
+    stats = list((exp / "demo").rglob("stats_out.txt"))
+    assert stats, "test_2d must write stats_out.txt"
+    content = stats[0].read_text()
+    assert "psnr_rgb_vr" in content
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
