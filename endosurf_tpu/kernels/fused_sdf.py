@@ -49,9 +49,14 @@ def _effective_layers(mlp_params: Dict[str, Any]) -> List[Tuple]:
     return out
 
 
-def _freq_encode_inline(x, n_freqs):
+def _round_up(n: int, m: int = 128) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _freq_encode_inline(x, n_freqs, pad_to: int = 0):
     """Reimplementation of ops.encoding.freq_encode usable inside the kernel
-    (identical interleave order)."""
+    (identical interleave order), optionally zero-padded to an MXU-friendly
+    lane multiple (padded lanes hit zero weight rows, so outputs match)."""
     parts = [x]
     for f in range(n_freqs):
         scaled = x * (2.0 ** f)
@@ -60,7 +65,12 @@ def _freq_encode_inline(x, n_freqs):
     # Match [x, sin_f0, cos_f0, sin_f1, ...] per-block concatenation of the
     # batched encoder: encoder emits [x | interleaved (sin,cos) x freq] where
     # each chunk spans all D dims.
-    return jnp.concatenate(parts, axis=-1)
+    enc = jnp.concatenate(parts, axis=-1)
+    if pad_to and enc.shape[-1] < pad_to:
+        enc = jnp.concatenate([
+            enc, jnp.zeros((*enc.shape[:-1], pad_to - enc.shape[-1]),
+                           enc.dtype)], axis=-1)
+    return enc
 
 
 def _run_mlp(h, x_enc, layers, skips, activation, skip_scale, compute_dtype):
@@ -94,16 +104,27 @@ def _kernel(spec: EndoSurfSpec, n_deform: int, compute_dtype, x_ref, t_ref,
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
 
     if spec.use_deform:
+        from endosurf_tpu.ops.encoding import freq_encode_dim
+        d_in = (freq_encode_dim(3, spec.deform_pos_freqs)
+                + freq_encode_dim(1, spec.deform_time_freqs))
         enc = jnp.concatenate([
             _freq_encode_inline(x, spec.deform_pos_freqs),
             _freq_encode_inline(t, spec.deform_time_freqs)], axis=-1)
+        # Zero-pad the encoding to a 128 lane multiple; weight rows for the
+        # padded lanes are zero (see fused_sdf_observed), so outputs match.
+        pad = _round_up(d_in) - d_in
+        if pad:
+            enc = jnp.concatenate(
+                [enc, jnp.zeros((enc.shape[0], pad), enc.dtype)], axis=-1)
         dx = _run_mlp(enc, enc, deform_layers, spec.deform.skips, "relu",
                       inv_sqrt2, compute_dtype)
         x_c = x + dx
     else:
         x_c = x
 
-    enc_c = _freq_encode_inline(x_c, spec.sdf_pos_freqs)
+    enc_c = _freq_encode_inline(x_c, spec.sdf_pos_freqs,
+                                pad_to=_round_up(
+                                    3 * (1 + 2 * spec.sdf_pos_freqs)))
     h = _run_mlp(enc_c, enc_c, sdf_layers, spec.sdf.skips, "softplus100",
                  inv_sqrt2, compute_dtype)
     out_ref[...] = h[:, :1]
@@ -127,14 +148,37 @@ def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
         t = jnp.concatenate([t, jnp.zeros((n_pad, 1), t.dtype)], 0)
     n_total = x.shape[0]
 
+    from endosurf_tpu.ops.encoding import freq_encode_dim
+
+    def pad_layers(layers, in_dim, skips):
+        """Insert zero weight rows so encoded-input widths hit 128 multiples.
+
+        Layer 0 consumes the (padded) encoding directly; skip layers consume
+        concat([h, enc_pad]) whose tail is the encoding — appending zero rows
+        keeps the product identical (concat order: endosurf.py:778-783).
+        """
+        extra = _round_up(in_dim) - in_dim
+        out = []
+        for l, (w, b) in enumerate(layers):
+            if extra and (l == 0 or l in skips):
+                w = jnp.concatenate(
+                    [w, jnp.zeros((extra, w.shape[1]), w.dtype)], axis=0)
+            out.append((w, b))
+        return out
+
     layer_arrays: List[jnp.ndarray] = []
     n_deform = 0
     if spec.use_deform:
-        deform = _effective_layers(params["deform_network"])
+        d_in = (freq_encode_dim(3, spec.deform_pos_freqs)
+                + freq_encode_dim(1, spec.deform_time_freqs))
+        deform = pad_layers(_effective_layers(params["deform_network"]),
+                            d_in, spec.deform.skips)
         n_deform = len(deform)
         for w, b in deform:
             layer_arrays += [w, b]
-    for w, b in _effective_layers(params["sdf_network"]):
+    sdf_in = freq_encode_dim(3, spec.sdf_pos_freqs)
+    for w, b in pad_layers(_effective_layers(params["sdf_network"]),
+                           sdf_in, spec.sdf.skips):
         layer_arrays += [w, b]
 
     grid = (n_total // BLOCK_N,)
