@@ -125,6 +125,16 @@ def test_loss_decreases(tmp_path, scene):
     assert last < 0.8 * first, (first, last)
 
 
+def test_static_variant_trains(tmp_path, scene):
+    """use_deform False (SCARED-style configs): step runs, grads flow."""
+    cfg = tiny_cfg(str(tmp_path), n_iter=2)
+    cfg["net"]["use_deform"] = False
+    trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
+    assert "deform_network" not in trainer.params
+    m = trainer.train_step(1)
+    assert np.isfinite(float(np.asarray(m["loss_total"])))
+
+
 def test_ablation_zero_weights_compile_out(tmp_path, scene):
     cfg = tiny_cfg(str(tmp_path), n_iter=2)
     cfg["train"]["surf_neig_loss_weight"] = 0.0
