@@ -107,6 +107,41 @@ def test_render_rays_depth_sampling(tiny):
     assert out_e["normal_map"].shape == (n, 3)
 
 
+def test_render_rays_uniform_sampling(tiny):
+    """Non-depth-guided branch: stratified near/far sampling (the intended
+    behavior of the reference's broken uniform path, endonerf.py:70-79)."""
+    spec, params = tiny
+    rspec = DNeRFRenderSpec(n_samples=8, n_importance=0,
+                            use_depth_sampling=False, perturb=True)
+    n = 4
+    rays = np.concatenate([
+        np.tile([0, 0, -2.0], (n, 1)), np.tile([0, 0, 1.0], (n, 1)),
+        np.full((n, 1), 1.0),   # near
+        np.full((n, 1), 3.0),   # far
+        np.full((n, 1), 0.5),
+    ], -1).astype(np.float32)
+    out = render_rays(spec, rspec, params, jnp.asarray(rays),
+                      key=jax.random.PRNGKey(0))
+    assert out["weights"].shape == (n, 8)
+    assert np.all(np.isfinite(np.asarray(out["color_map"])))
+    # Deterministic eval differs from perturbed train sampling.
+    out_det = render_rays(spec, rspec, params, jnp.asarray(rays), key=None)
+    assert not np.allclose(np.asarray(out["depth_map"]),
+                           np.asarray(out_det["depth_map"]))
+
+
+def test_no_deform_variant(tiny):
+    import dataclasses
+    spec, params = tiny
+    spec_nd = dataclasses.replace(spec, use_deform=False)
+    x = jnp.array([[0.1, 0.2, 0.3]])
+    t = jnp.array([[0.5]])
+    d1 = density_observed(spec_nd, params, x, t)
+    d2 = density_observed(spec_nd, params, x, t + 0.4)
+    # Without deformation the density is time-independent.
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+
+
 def tiny_nerf_cfg(exp_dir, n_iter=4):
     return {
         "exp": {"project_name": "test", "exp_name": "nerf_smoke",
