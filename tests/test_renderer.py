@@ -146,6 +146,20 @@ class TestDepthLosses:
         # Smooth init sphere -> neighbouring normals nearly parallel.
         assert float(err) < 0.2
 
+    def test_render_on_depth(self, static_sphere):
+        from endosurf_tpu.models.endosurf import render_on_depth
+        spec, params = static_sphere
+        rays = make_rays(6, spread=0.02)
+        depth, valid = ray_march(spec, params, rays)
+        color, grad = render_on_depth(spec, params, rays, depth, valid)
+        assert color.shape == (6, 3) and grad.shape == (6, 3)
+        c = np.asarray(color)
+        assert c.min() >= 0 and c.max() <= 1
+        # Invalid rays are zeroed.
+        color0, grad0 = render_on_depth(spec, params, rays, depth,
+                                        jnp.zeros_like(valid))
+        np.testing.assert_array_equal(np.asarray(color0), 0.0)
+
     def test_surface_neighbour_error_all_masked(self, static_sphere):
         spec, params = static_sphere
         rays = make_rays(4)
