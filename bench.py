@@ -25,7 +25,26 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 3500.0
 
 
+def _arm_watchdog(seconds: float = 2700.0):
+    """Hard-exit if the device wedges (the tunneled TPU occasionally blocks
+    all dispatches indefinitely); a clean failure beats a silent hang."""
+    import os
+    import sys
+    import threading
+
+    def boom():
+        print("bench watchdog: device did not complete within "
+              f"{seconds:.0f}s — aborting", file=sys.stderr, flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _arm_watchdog()
     import jax
     import jax.numpy as jnp
     import optax
@@ -82,6 +101,7 @@ def main():
 
     rays_per_sec = n_steps * ray_batch / dt
     assert np.isfinite(float(np.asarray(metrics["loss_total"])))
+    watchdog.cancel()
     print(json.dumps({
         "metric": "endosurf_train_rays_per_sec",
         "value": round(rays_per_sec, 1),

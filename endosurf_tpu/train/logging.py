@@ -66,6 +66,26 @@ class MetricsWriter:
         if self._wandb is not None:
             self._wandb.log({tag: self._wandb.Image(img)}, step=step)
 
+    def add_video(self, tag: str, video: np.ndarray, step: int,
+                  fps: int = 10) -> None:
+        """video: [t, h, w, 3] uint8 (reference writer, trainer/utils.py:113)."""
+        if self._tb is not None:
+            self._tb.add_video(tag, video.transpose(0, 3, 1, 2)[None],
+                               step, fps=fps)
+        if self._wandb is not None:
+            self._wandb.log(
+                {tag: self._wandb.Video(video.transpose(0, 3, 1, 2),
+                                        fps=fps, format="gif")}, step=step)
+
+    def add_mesh(self, tag: str, vertices: np.ndarray, step: int,
+                 colors: np.ndarray = None, faces: np.ndarray = None) -> None:
+        """Mesh logging (reference writer, trainer/utils.py:129-135)."""
+        if self._tb is not None:
+            self._tb.add_mesh(tag, vertices[None],
+                              colors=None if colors is None else colors[None],
+                              faces=None if faces is None else faces[None],
+                              global_step=step)
+
     def flush(self) -> None:
         self._jsonl.flush()
         if self._tb is not None:
