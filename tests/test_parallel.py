@@ -77,6 +77,40 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(p_sh, p_rep, rtol=1e-4, atol=1e-6)
 
 
+def test_endonerf_sharded_matches_single_device():
+    from __graft_entry__ import _synthetic_arrays
+    from endosurf_tpu.models.endonerf import DNeRFRenderSpec, DNeRFSpec, \
+        init_dnerf_params
+    from endosurf_tpu.train.schedules import exponential
+    from endosurf_tpu.train.trainer_endonerf import make_train_step
+
+    scene = _synthetic_arrays()
+    spec = DNeRFSpec(pos_density_freqs=2, dir_color_freqs=2,
+                     time_deform_freqs=2, pos_deform_freqs=2,
+                     deform_layers=(2, 32, ()), density_layers=(2, 32, ()),
+                     color_layers=(2, 32, ()), geo_feat_dim=16)
+    rspec = DNeRFRenderSpec(n_samples=4, n_importance=4)
+    tx = optax.adam(exponential(5e-4, 250))
+    lw = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0}
+    mesh = make_mesh(8)
+
+    def run(step_fn, put=None):
+        params = init_dnerf_params(jax.random.PRNGKey(0), spec)
+        opt_state = tx.init(params)
+        arrays = scene.device_arrays
+        if put is not None:
+            params, opt_state, arrays = jax.device_put(
+                (params, opt_state, arrays), put)
+        _, _, m = step_fn(params, opt_state, arrays, jax.random.PRNGKey(3),
+                          jnp.asarray(1.0))
+        return float(np.asarray(m["loss_total"]))
+
+    loss_rep = run(make_train_step(spec, rspec, tx, scene.h, scene.w, 16, lw))
+    loss_sh = run(make_train_step(spec, rspec, tx, scene.h, scene.w, 16, lw,
+                                  mesh=mesh), put=replicated_sharding(mesh))
+    np.testing.assert_allclose(loss_sh, loss_rep, rtol=1e-4)
+
+
 def test_ray_batch_actually_sharded():
     """Sharding constraint yields a batch laid out across all 8 devices."""
     from endosurf_tpu.parallel.mesh import shard_ray_batch
