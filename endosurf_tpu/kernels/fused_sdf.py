@@ -79,9 +79,10 @@ def _run_mlp(h, x_enc, layers, skips, activation, skip_scale, compute_dtype):
         if l in skips:
             h = jnp.concatenate([h, x_enc], axis=-1) * skip_scale
         w, b = layers[l]
-        # MXU feeds in compute_dtype (bf16 for throughput mode), always
-        # accumulating in f32; nonlinearities run in f32 on the VPU.
-        h = jnp.dot(h.astype(compute_dtype), w.astype(compute_dtype),
+        # MXU feeds in compute_dtype (bf16 for throughput mode; weights are
+        # pre-cast outside the kernel), always accumulating in f32;
+        # nonlinearities run in f32 on the VPU.
+        h = jnp.dot(h.astype(compute_dtype), w,
                     preferred_element_type=jnp.float32) + b
         if l != n_layers - 1:
             if activation == "relu":
@@ -163,7 +164,7 @@ def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
             if extra and (l == 0 or l in skips):
                 w = jnp.concatenate(
                     [w, jnp.zeros((extra, w.shape[1]), w.dtype)], axis=0)
-            out.append((w, b))
+            out.append((w.astype(compute_dtype), b))
         return out
 
     layer_arrays: List[jnp.ndarray] = []
