@@ -138,6 +138,11 @@ class Trainer:
                     step_iter.set_description(
                         f"TRAIN|loss:{metrics.get('loss_total', 0.0):.5g}|")
                 self.writer.add_scalars("train", metrics, step)
+                if hasattr(self, "lr_schedule"):
+                    # Reference logs the LR per step (trainer_endosurf.py:203).
+                    self.writer.add_scalar(
+                        "train/lr", float(np.asarray(
+                            self.lr_schedule(step - 1))), step)
                 dt = time.time() - t0
                 self.writer.add_scalar("perf/rays_per_sec", rays_done / dt,
                                        step)

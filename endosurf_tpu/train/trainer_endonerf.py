@@ -74,6 +74,7 @@ class EndoNeRFTrainer(Trainer):
 
         optim_cfg = self.train_cfg["optim"]
         schedule = exponential(optim_cfg["lr"], optim_cfg.get("lr_decay", 250))
+        self.lr_schedule = schedule
         self.tx = optax.adam(schedule)
         self.opt_state = self.tx.init(self.params)
 

@@ -123,6 +123,7 @@ class EndoSurfTrainer(Trainer):
             optim_cfg["lr"], optim_cfg.get("warm_up_end", 5000),
             self.n_iter, optim_cfg.get("lr_alpha", 0.05))
         # torch.optim.Adam defaults (betas 0.9/0.999, eps 1e-8) == optax.adam.
+        self.lr_schedule = schedule
         self.tx = optax.adam(schedule)
         self.opt_state = self.tx.init(self.params)
 
