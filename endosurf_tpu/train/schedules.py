@@ -22,8 +22,11 @@ def warmup_cosine(lr_init: float, warm_up_end: int, n_iter: int,
     def schedule(count):
         step = count + 1.0
         warm = step / warm_up_end
-        progress = jnp.clip((step - warm_up_end) / (n_iter - warm_up_end),
-                            0.0, 1.0)
+        # max(.., 1): tiny runs may have n_iter == warm_up_end; the cosine
+        # branch is then constant and must not divide by zero (the schedule
+        # is also called eagerly for LR logging).
+        progress = jnp.clip(
+            (step - warm_up_end) / max(n_iter - warm_up_end, 1), 0.0, 1.0)
         cos = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
         return lr_init * jnp.where(step < warm_up_end, warm, cos)
     return schedule
