@@ -24,6 +24,29 @@ def test_dryrun_multichip_entrypoint():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions_when_devices_insufficient():
+    """Driver regression (round 1): dryrun_multichip is invoked in a process
+    whose backend has too few devices (ambient shell = one tunneled TPU chip)
+    and must self-provision a virtual CPU mesh via a clean subprocess instead
+    of asserting. Simulated here with a 1-device CPU parent."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("_GRAFT_DRYRUN_CHILD", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    code = (f"import sys; sys.path.insert(0, {repo!r}); import jax; "
+            "jax.config.update('jax_platforms', 'cpu'); "
+            "assert len(jax.devices()) == 1; "
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(4)")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(4): OK" in proc.stdout
+
+
 def test_sharded_matches_single_device():
     """One sharded train step must match the replicated step numerically.
 
