@@ -107,6 +107,11 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE, 3),
+        # The reference publishes no throughput anywhere (BASELINE.md); the
+        # denominator is an estimate for NeuS-class double-backprop pipelines
+        # on a modern CUDA GPU. Do not over-trust vs_baseline.
+        "baseline_is_estimate": True,
+        "baseline_rays_per_sec": REFERENCE_RAYS_PER_SEC_ESTIMATE,
     }))
 
 

@@ -191,7 +191,10 @@ def render_core(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
         "weights": weights,
         "weight_max": jnp.max(weights, axis=-1, keepdims=True),
         "cdf": prev_cdf,
-        "s_val": 1.0 / s_inv,
+        # Per-ray mean of the per-sample 1/inv_s (endosurf.py:131,212). inv_s
+        # is a single broadcast scalar, so the mean equals the scalar — the
+        # [n_rays, 1] shape is kept for side-by-side TB parity.
+        "s_val": jnp.broadcast_to(1.0 / s_inv, (n_rays, 1)),
     }
 
 
