@@ -92,5 +92,100 @@ def test_lpips_gated_without_weights():
     assert cal_lpips(a, a, np.ones((1, 16, 16, 1), np.float32)) is None
 
 
+def _tiny_vgg_npz(rng, path):
+    """Random weights in the exact lpips_vgg16.npz schema (13 convs + 5
+    heads; tiny channel widths — the forward reads widths from the arrays,
+    so layout bugs reproduce identically at any width)."""
+    blocks = [(8, 2), (16, 2), (24, 3), (24, 3), (24, 3)]
+    out = {}
+    c_in, idx = 3, 0
+    for c_out, n_convs in blocks:
+        for _ in range(n_convs):
+            out[f"conv{idx}_w"] = rng.normal(
+                scale=0.2, size=(3, 3, c_in, c_out)).astype(np.float32)
+            out[f"conv{idx}_b"] = rng.normal(
+                scale=0.05, size=(c_out,)).astype(np.float32)
+            c_in = c_out
+            idx += 1
+    for li, (c_out, _) in enumerate(blocks):
+        out[f"lin{li}_w"] = rng.uniform(
+            0, 1, size=(c_out,)).astype(np.float32)
+    np.savez(path, **out)
+    return out
+
+
+def _torch_lpips_oracle(weights, blocks, a, b):
+    """Independent torch re-implementation of the LPIPS pipeline
+    (reference lpips package semantics: scaling layer, VGG relu taps,
+    channel unit-normalization eps=1e-10, nonneg 1x1 heads, spatial mean,
+    layer sum)."""
+    import torch
+    import torch.nn.functional as F
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def prep(img):
+        x = torch.tensor(img).permute(0, 3, 1, 2) * 2.0 - 1.0
+        return (x - shift) / scale
+
+    def feats(x):
+        taps, idx = [], 0
+        for bi, (_, n_convs) in enumerate(blocks):
+            for _ in range(n_convs):
+                w = torch.tensor(
+                    np.transpose(weights[f"conv{idx}_w"], (3, 2, 0, 1)))
+                bias = torch.tensor(weights[f"conv{idx}_b"])
+                x = F.relu(F.conv2d(x, w, bias, padding=1))
+                idx += 1
+            taps.append(x)
+            if bi != len(blocks) - 1:
+                x = F.max_pool2d(x, 2)
+        return taps
+
+    total = 0.0
+    for li, (xa, xb) in enumerate(zip(feats(prep(a)), feats(prep(b)))):
+        na = xa / (xa.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        nb = xb / (xb.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        lin = torch.tensor(weights[f"lin{li}_w"]).view(1, -1, 1, 1)
+        total = total + ((na - nb) ** 2 * lin).sum(1).mean(dim=(1, 2))
+    return total.numpy()
+
+
+def test_lpips_matches_torch_oracle(tmp_path, monkeypatch):
+    """Numerical oracle for the JAX LPIPS port: with weights present it must
+    reproduce an independent torch forward bit-for-tolerance, so dropping in
+    real converted weights later is config, not code (VERDICT r1 item 4).
+    Covers conv layout (HWIO vs OIHW), SAME padding, pool placement,
+    normalization eps, head application, and reduction order."""
+    import endosurf_tpu.evaluation.lpips_jax as lj
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "lpips_tiny.npz")
+    weights = _tiny_vgg_npz(rng, path)
+    blocks = [(8, 2), (16, 2), (24, 3), (24, 3), (24, 3)]
+
+    monkeypatch.setattr(lj, "WEIGHTS_PATH", path)
+    lj.lpips_fn.cache_clear()
+    try:
+        fn = lj.lpips_fn()
+        assert fn is not None
+        a = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+
+        ours = np.asarray(fn(a, b))
+        oracle = _torch_lpips_oracle(weights, blocks, a, b)
+        np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+        # Metric sanity: identity -> 0, and more distortion -> larger.
+        ident = np.asarray(fn(a, a))
+        np.testing.assert_allclose(ident, 0.0, atol=1e-6)
+        worse = np.clip(a + rng.normal(0, 0.4, a.shape), 0, 1
+                        ).astype(np.float32)
+        assert np.all(np.asarray(fn(a, worse)) > ours)
+    finally:
+        lj.lpips_fn.cache_clear()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
