@@ -55,8 +55,10 @@ def main():
     from endosurf_tpu.train.schedules import warmup_cosine
     from endosurf_tpu.train.trainer_endosurf import make_train_step
 
-    from endosurf_tpu.ops.mlp import set_matmul_precision
-    set_matmul_precision("high")  # shipping default (see PARITY.md)
+    from endosurf_tpu.ops.mlp import (set_matmul_precision,
+                                      set_sampling_precision)
+    set_matmul_precision("high")       # shipping default (see PARITY.md)
+    set_sampling_precision("default")  # bf16 stop-gradient sampling paths
 
     scene = _synthetic_arrays(n_frames=8, h=512, w=640)
 

@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from endosurf_tpu.ops.encoding import freq_encode, freq_encode_dim
-from endosurf_tpu.ops.mlp import init_skip_mlp, skip_mlp_apply
+from endosurf_tpu.ops.mlp import (
+    init_skip_mlp,
+    sampling_precision_scope,
+    skip_mlp_apply,
+)
 from endosurf_tpu.ops.neus import exclusive_cumprod_weights
 from endosurf_tpu.ops.pdf import sample_pdf
 
@@ -249,8 +253,11 @@ def render_rays(spec: DNeRFSpec, rspec: DNeRFRenderSpec, params: Params,
                 sigma.reshape(n_rays, z.shape[1]), pts, tt)
 
     if rspec.n_importance > 0:
-        rgb_c, sigma_c, _, _ = jax.lax.stop_gradient(
-            eval_at(z_vals, k_noise_c))
+        # Sampling-only coarse pass (endonerf.py:82-91 under no_grad): runs at
+        # the sampling matmul precision — it only shapes the importance CDF.
+        with sampling_precision_scope():
+            rgb_c, sigma_c, _, _ = jax.lax.stop_gradient(
+                eval_at(z_vals, k_noise_c))
         _, _, weights_c = raw2outputs(rgb_c, sigma_c, z_vals, rays_d)
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         # det=perturb quirk reproduced from endonerf.py:93: perturbed

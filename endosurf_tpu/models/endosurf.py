@@ -37,6 +37,7 @@ from endosurf_tpu.models.fields import (
     sdf_observed,
 )
 from endosurf_tpu.ops.geometry import ray_sphere_intersection
+from endosurf_tpu.ops.mlp import sampling_precision_scope
 from endosurf_tpu.ops.neus import (
     annealed_iter_cos,
     exclusive_cumprod_weights,
@@ -224,9 +225,12 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
     z_vals = _stratified_z(near, far, rspec.n_samples, z_key)
 
     if use_importance and rspec.n_importance > 0:
-        z_vals = jax.lax.stop_gradient(
-            upsample_z(spec, rspec, jax.lax.stop_gradient(params),
-                       rays_o, rays_d_z, t, z_vals))
+        # Sampling-only: picks z locations under stop_gradient, so it runs at
+        # the (usually lower) sampling matmul precision — see ops/mlp.py.
+        with sampling_precision_scope():
+            z_vals = jax.lax.stop_gradient(
+                upsample_z(spec, rspec, jax.lax.stop_gradient(params),
+                           rays_o, rays_d_z, t, z_vals))
 
     return render_core(spec, params, rays, z_vals, sample_dist, anneal,
                        remat=remat)
@@ -331,8 +335,11 @@ def surface_neighbour_error(spec: EndoSurfSpec, params: Params,
     """Normal-consistency regularizer near the traced surface
     (endosurf.py:319-342), as a fixed-shape masked mean."""
     rays_o, rays_d, rays_d_z, t = _split_rays(rays)
-    d_surf, valid = ray_march(
-        spec, jax.lax.stop_gradient(params), rays)
+    # Sampling-only: the sphere trace just localizes the surface depth under
+    # stop_gradient; run it at the sampling matmul precision.
+    with sampling_precision_scope():
+        d_surf, valid = ray_march(
+            spec, jax.lax.stop_gradient(params), rays)
     d_surf = jax.lax.stop_gradient(d_surf)
     valid = jax.lax.stop_gradient(valid) & (mask == 1)
 

@@ -27,8 +27,9 @@ skip layer (endosurf.py:732-737, 778-783).
 
 from __future__ import annotations
 
+import contextlib
 import math
-from typing import Any, Callable, Dict, List, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,12 @@ Params = Dict[str, Any]
 # "default" (bf16 MXU passes) or "high" (bf16x3) for throughput experiments.
 _MATMUL_PRECISION: str = "highest"
 
+# Optional override for *sampling-only* field evaluations (importance
+# upsampling, sphere-traced ray marching): these run under stop_gradient and
+# only pick sample locations, so they tolerate bf16 regardless of the main
+# precision. None = inherit the main precision.
+_SAMPLING_PRECISION: Optional[str] = None
+
 
 def set_matmul_precision(precision: str) -> None:
     global _MATMUL_PRECISION
@@ -49,6 +56,38 @@ def set_matmul_precision(precision: str) -> None:
 
 def get_matmul_precision() -> str:
     return _MATMUL_PRECISION
+
+
+def set_sampling_precision(precision: Optional[str]) -> None:
+    global _SAMPLING_PRECISION
+    assert precision in (None, "default", "high", "highest")
+    _SAMPLING_PRECISION = precision
+
+
+def get_sampling_precision() -> Optional[str]:
+    return _SAMPLING_PRECISION
+
+
+@contextlib.contextmanager
+def matmul_precision_scope(precision: Optional[str]):
+    """Trace-time precision override for a code region (None = no-op)."""
+    global _MATMUL_PRECISION
+    if precision is None:
+        yield
+        return
+    old = _MATMUL_PRECISION
+    set_matmul_precision(precision)
+    try:
+        yield
+    finally:
+        _MATMUL_PRECISION = old
+
+
+@contextlib.contextmanager
+def sampling_precision_scope():
+    """Apply the sampling-precision override (if any) to a traced region."""
+    with matmul_precision_scope(_SAMPLING_PRECISION):
+        yield
 
 
 def softplus100(x: jnp.ndarray) -> jnp.ndarray:

@@ -67,6 +67,14 @@ class EndoNeRFTrainer(Trainer):
         self.spec = DNeRFSpec.from_config(cfg["net"])
         self.rspec = DNeRFRenderSpec.from_config(cfg["render"])
 
+        # Same TPU execution knobs as the EndoSurf trainer: "high" (bf16x3)
+        # main passes, bf16 for the stop-gradient coarse importance pass.
+        from endosurf_tpu.ops.mlp import (set_matmul_precision,
+                                          set_sampling_precision)
+        set_matmul_precision(self.train_cfg.get("matmul_precision", "high"))
+        set_sampling_precision(
+            self.train_cfg.get("sampling_precision", "default"))
+
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)
         self.key, k_init = jax.random.split(self.key)

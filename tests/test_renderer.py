@@ -168,5 +168,49 @@ class TestDepthLosses:
         assert float(err) == 0.0
 
 
+class TestSamplingPrecision:
+    """The bf16 sampling-path override must only perturb sample *locations*:
+    render results stay close, and None (inherit) is bit-identical."""
+
+    def test_inherit_is_identity(self, static_sphere):
+        from endosurf_tpu.ops.mlp import (get_sampling_precision,
+                                          set_sampling_precision)
+        spec, params = static_sphere
+        rspec = RenderSpec()
+        rays = make_rays(8)
+        assert get_sampling_precision() is None
+        base = render_rays(spec, rspec, params, rays, jnp.asarray(1000.0))
+        set_sampling_precision(None)
+        again = render_rays(spec, rspec, params, rays, jnp.asarray(1000.0))
+        np.testing.assert_array_equal(np.asarray(base["color_map"]),
+                                      np.asarray(again["color_map"]))
+
+    def test_bf16_sampling_close_and_restored(self, static_sphere):
+        from endosurf_tpu.ops.mlp import (get_matmul_precision,
+                                          set_sampling_precision)
+        spec, params = static_sphere
+        rspec = RenderSpec()
+        rays = make_rays(8)
+        base = render_rays(spec, rspec, params, rays, jnp.asarray(1000.0))
+        main_prec = get_matmul_precision()
+        set_sampling_precision("default")
+        try:
+            fast = render_rays(spec, rspec, params, rays, jnp.asarray(1000.0))
+            # The scope must restore the main precision after tracing.
+            assert get_matmul_precision() == main_prec
+            err = surface_neighbour_error(
+                spec, params, rays, jnp.ones((8, 1)),
+                jax.random.PRNGKey(0), 0.05)
+            assert np.isfinite(float(err))
+        finally:
+            set_sampling_precision(None)
+        # Only the importance sample z-locations moved; composited maps stay
+        # close on the smooth init sphere.
+        np.testing.assert_allclose(np.asarray(base["color_map"]),
+                                   np.asarray(fast["color_map"]), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(base["depth_map"]),
+                                   np.asarray(fast["depth_map"]), atol=5e-3)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
