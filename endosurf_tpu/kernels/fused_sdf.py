@@ -6,10 +6,25 @@ Fuses the entire forward chain
     -> freq-encode(x_c) -> SDF MLP (9x256) -> sdf
 
 into one kernel that keeps every intermediate activation in VMEM. The XLA
-baseline writes each 256-wide activation to HBM between layers; for the
-forward-only consumers of this query — the 128-step sphere-tracing ray march
-(models/endosurf.py ray_march), the SDF-guided upsampling rounds, and dense
-grid extraction — the fused kernel removes that round-trip entirely.
+baseline writes each 256-wide activation to HBM between layers (~134 MB per
+layer at the ray-march workload); the fused kernel removes that round-trip
+for the forward-only consumers of this query — the 128-step sphere-tracing
+ray march (models/endosurf.py ray_march), the SDF-guided upsampling rounds,
+and dense grid extraction.
+
+Frequency encoding inside the kernel is *matmul-formulated*: a [B, 3] point
+block would otherwise need ~13 sin/cos ops on 3-lane arrays (each padded to
+the 128-lane VPU width, i.e. ~98% wasted lanes) plus lane-concatenations,
+which is what made the first version of this kernel lose to XLA. Instead a
+constant selector matrix S [in, P] scatters scaled copies of the inputs into
+a lane-aligned [B, P] buffer with ONE small matmul, and the sin/cos are two
+full-width VPU passes gated by a per-column kind mask:
+
+    v = x @ S              # column j holds x[d(j)] * 2^f(j)
+    e = kind==id ? v : (kind==sin ? sin(v) : cos(v))
+
+Column order matches ops.encoding.freq_encode exactly; padded columns hit
+zero weight rows in the (padded) first/skip layers, so outputs are identical.
 
 Weight-norm denormalization (W = v * g/||v||) happens once per call outside
 the kernel (parameters are ~2M floats; negligible), so the kernel consumes
@@ -28,12 +43,35 @@ from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from endosurf_tpu.models.fields import EndoSurfSpec
 
-BLOCK_N = 512  # points per grid step; activations: 512x349 f32 ~ 0.7MB
+BLOCK_N = 1024  # points per grid step (1024 and 2048 measure equal; smaller
+                # block keeps VMEM headroom for the resident weights)
+
+# Auto-dispatch gate for the sampling hot paths (ray march / upsampling):
+# the kernel wins on real TPU hardware at large point counts and is bypassed
+# everywhere else (CPU tests, tiny secant batches).
+_ENABLED = True
+_MIN_POINTS = 8192
+
+
+def set_fused_sdf_enabled(enabled: bool) -> None:
+    global _ENABLED
+    _ENABLED = bool(enabled)
+
+
+def fused_sdf_available(n_points: int) -> bool:
+    """Should the fused kernel serve a sampling-path SDF query of this size?"""
+    if not _ENABLED or n_points < _MIN_POINTS:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def _effective_layers(mlp_params: Dict[str, Any]) -> List[Tuple]:
@@ -53,24 +91,51 @@ def _round_up(n: int, m: int = 128) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _freq_encode_inline(x, n_freqs, pad_to: int = 0):
-    """Reimplementation of ops.encoding.freq_encode usable inside the kernel
-    (identical interleave order), optionally zero-padded to an MXU-friendly
-    lane multiple (padded lanes hit zero weight rows, so outputs match)."""
-    parts = [x]
-    for f in range(n_freqs):
-        scaled = x * (2.0 ** f)
-        parts.append(jnp.sin(scaled))
-        parts.append(jnp.cos(scaled))
-    # Match [x, sin_f0, cos_f0, sin_f1, ...] per-block concatenation of the
-    # batched encoder: encoder emits [x | interleaved (sin,cos) x freq] where
-    # each chunk spans all D dims.
-    enc = jnp.concatenate(parts, axis=-1)
-    if pad_to and enc.shape[-1] < pad_to:
-        enc = jnp.concatenate([
-            enc, jnp.zeros((*enc.shape[:-1], pad_to - enc.shape[-1]),
-                           enc.dtype)], axis=-1)
-    return enc
+def encode_selector(dims: Tuple[int, ...], freqs: Tuple[int, ...],
+                    pad_to: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Selector matrix + kind mask for a concatenated frequency encoding.
+
+    For each input group g (e.g. pos with 3 dims / 6 freqs, time with 1 dim /
+    6 freqs) emit columns [x | sin(2^0 x), cos(2^0 x), sin(2^1 x), ...] in
+    ops.encoding.freq_encode order, groups concatenated, zero-padded to
+    ``pad_to`` lanes.
+
+    Returns (S [sum(dims), pad_to] f32, kind [pad_to] i32) with kind 0=id,
+    1=sin, 2=cos; padded columns have kind 0 and a zero S column.
+    """
+    total_in = sum(dims)
+    cols_S: List[np.ndarray] = []
+    kinds: List[int] = []
+    offset = 0
+    for d, nf in zip(dims, freqs):
+        def col(dim_idx, scale):
+            c = np.zeros((total_in,), np.float32)
+            c[offset + dim_idx] = scale
+            return c
+        for i in range(d):
+            cols_S.append(col(i, 1.0))
+            kinds.append(0)
+        for f in range(nf):
+            for kind in (1, 2):
+                for i in range(d):
+                    cols_S.append(col(i, float(2.0 ** f)))
+                    kinds.append(kind)
+        offset += d
+    n_cols = len(cols_S)
+    assert n_cols <= pad_to, (n_cols, pad_to)
+    S = np.stack(cols_S, axis=1)
+    if n_cols < pad_to:
+        S = np.concatenate(
+            [S, np.zeros((total_in, pad_to - n_cols), np.float32)], axis=1)
+        kinds += [0] * (pad_to - n_cols)
+    return S, np.asarray(kinds, np.int32)
+
+
+def _apply_encoding(v: jnp.ndarray, kind_row: jnp.ndarray) -> jnp.ndarray:
+    """v [B, P] pre-scaled inputs -> encoded values by column kind."""
+    s = jnp.sin(v)
+    c = jnp.cos(v)
+    return jnp.where(kind_row == 0, v, jnp.where(kind_row == 1, s, c))
 
 
 def _run_mlp(h, x_enc, layers, skips, activation, skip_scale, compute_dtype):
@@ -92,40 +157,34 @@ def _run_mlp(h, x_enc, layers, skips, activation, skip_scale, compute_dtype):
     return h
 
 
-def _kernel(spec: EndoSurfSpec, n_deform: int, compute_dtype, x_ref, t_ref,
+def _kernel(spec: EndoSurfSpec, n_deform: int, compute_dtype, xt_ref,
             *refs):
     out_ref = refs[-1]
-    flat = refs[:-1]
+    s_deform_ref, kind_deform_ref, s_sdf_ref, kind_sdf_ref = refs[:4]
+    flat = refs[4:-1]
     weights = [(flat[2 * i], flat[2 * i + 1]) for i in range(len(flat) // 2)]
     deform_layers = [(w[...], b[...]) for w, b in weights[:n_deform]]
     sdf_layers = [(w[...], b[...]) for w, b in weights[n_deform:]]
 
-    x = x_ref[...]
-    t = t_ref[...]
+    xt = xt_ref[...]                     # [B, 128]: (x, t) in lanes 0..3
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
 
     if spec.use_deform:
-        from endosurf_tpu.ops.encoding import freq_encode_dim
-        d_in = (freq_encode_dim(3, spec.deform_pos_freqs)
-                + freq_encode_dim(1, spec.deform_time_freqs))
-        enc = jnp.concatenate([
-            _freq_encode_inline(x, spec.deform_pos_freqs),
-            _freq_encode_inline(t, spec.deform_time_freqs)], axis=-1)
-        # Zero-pad the encoding to a 128 lane multiple; weight rows for the
-        # padded lanes are zero (see fused_sdf_observed), so outputs match.
-        pad = _round_up(d_in) - d_in
-        if pad:
-            enc = jnp.concatenate(
-                [enc, jnp.zeros((enc.shape[0], pad), enc.dtype)], axis=-1)
+        v = jnp.dot(xt, s_deform_ref[...],
+                    preferred_element_type=jnp.float32)
+        enc = _apply_encoding(v, kind_deform_ref[...][:1, :])
         dx = _run_mlp(enc, enc, deform_layers, spec.deform.skips, "relu",
                       inv_sqrt2, compute_dtype)
-        x_c = x + dx
+        # x_c = x + dx, kept in the same padded [B, 128] (x, t) layout; the
+        # dx block is [B, pad(3)] with zero weight columns past lane 2, and
+        # the sdf selector ignores the t lane.
+        x_c_pad = xt + dx
     else:
-        x_c = x
+        x_c_pad = xt
 
-    enc_c = _freq_encode_inline(x_c, spec.sdf_pos_freqs,
-                                pad_to=_round_up(
-                                    3 * (1 + 2 * spec.sdf_pos_freqs)))
+    v_c = jnp.dot(x_c_pad, s_sdf_ref[...],
+                  preferred_element_type=jnp.float32)
+    enc_c = _apply_encoding(v_c, kind_sdf_ref[...][:1, :])
     h = _run_mlp(enc_c, enc_c, sdf_layers, spec.sdf.skips, "softplus100",
                  inv_sqrt2, compute_dtype)
     out_ref[...] = h[:, :1]
@@ -142,14 +201,17 @@ def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
         multiple of BLOCK_N.
     Returns: sdf [N, 1].
     """
-    n = x.shape[0]
-    n_pad = (-n) % BLOCK_N
-    if n_pad:
-        x = jnp.concatenate([x, jnp.zeros((n_pad, 3), x.dtype)], 0)
-        t = jnp.concatenate([t, jnp.zeros((n_pad, 1), t.dtype)], 0)
-    n_total = x.shape[0]
-
     from endosurf_tpu.ops.encoding import freq_encode_dim
+
+    n = x.shape[0]
+    block_n = min(BLOCK_N, _round_up(n, 128))
+    n_pad = (-n) % block_n
+    # One lane-aligned [N, 128] input carrying (x0, x1, x2, t, 0...).
+    xt = jnp.concatenate(
+        [x, t, jnp.zeros((n, 124), x.dtype)], axis=-1)
+    if n_pad:
+        xt = jnp.concatenate([xt, jnp.zeros((n_pad, 128), xt.dtype)], 0)
+    n_total = xt.shape[0]
 
     def pad_layers(layers, in_dim, skips):
         """Insert zero weight rows so encoded-input widths hit 128 multiples.
@@ -167,40 +229,66 @@ def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
             out.append((w.astype(compute_dtype), b))
         return out
 
+    # Selector/kind constants. Selectors consume the [*, 128] (x, t) layout,
+    # so their row dim is 128 (rows past (x,t) are zero).
+    def lift_rows(S: np.ndarray) -> jnp.ndarray:
+        full = np.zeros((128, S.shape[1]), np.float32)
+        full[:S.shape[0]] = S
+        return jnp.asarray(full)
+
     layer_arrays: List[jnp.ndarray] = []
     n_deform = 0
     if spec.use_deform:
         d_in = (freq_encode_dim(3, spec.deform_pos_freqs)
                 + freq_encode_dim(1, spec.deform_time_freqs))
+        S_d, kind_d = encode_selector(
+            (3, 1), (spec.deform_pos_freqs, spec.deform_time_freqs),
+            _round_up(d_in))
         deform = pad_layers(_effective_layers(params["deform_network"]),
                             d_in, spec.deform.skips)
+        # The deform output (3 lanes) is added back onto the padded (x, t)
+        # input, so lift its last layer to all 128 lanes with zero columns
+        # past lane 2 (t and padding must pass through unchanged).
+        w_last, b_last = deform[-1]
+        w_full = jnp.zeros((w_last.shape[0], 128), w_last.dtype)
+        b_full = jnp.zeros((128,), b_last.dtype)
+        deform[-1] = (w_full.at[:, :3].set(w_last),
+                      b_full.at[:3].set(b_last))
         n_deform = len(deform)
         for w, b in deform:
             layer_arrays += [w, b]
+    else:
+        S_d = np.zeros((4, 128), np.float32)
+        kind_d = np.zeros((128,), np.int32)
     sdf_in = freq_encode_dim(3, spec.sdf_pos_freqs)
+    S_s, kind_s = encode_selector((3,), (spec.sdf_pos_freqs,),
+                                  _round_up(sdf_in))
     for w, b in pad_layers(_effective_layers(params["sdf_network"]),
                            sdf_in, spec.sdf.skips):
         layer_arrays += [w, b]
 
-    grid = (n_total // BLOCK_N,)
+    const_arrays = [lift_rows(S_d), jnp.asarray(kind_d)[None, :],
+                    lift_rows(S_s), jnp.asarray(kind_s)[None, :]]
+
+    grid = (n_total // block_n,)
     in_specs = [
-        pl.BlockSpec((BLOCK_N, 3), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((BLOCK_N, 1), lambda i: (i, 0),
+        pl.BlockSpec((block_n, 128), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    # All weights/biases: full arrays resident in VMEM for every grid step.
-    for arr in layer_arrays:
+    # Constants + all weights/biases: full arrays resident in VMEM for every
+    # grid step (constant index maps -> fetched once).
+    for arr in const_arrays + layer_arrays:
         in_specs.append(pl.BlockSpec(
-            arr.shape, (lambda i: (0, 0)) if arr.ndim == 2 else (lambda i: (0,)),
+            arr.shape,
+            (lambda i: (0, 0)) if arr.ndim == 2 else (lambda i: (0,)),
             memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
         functools.partial(_kernel, spec, n_deform, compute_dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((BLOCK_N, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_n, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_total, 1), jnp.float32),
-    )(x, t, *layer_arrays)
+    )(xt, *const_arrays, *layer_arrays)
     return out[:n]

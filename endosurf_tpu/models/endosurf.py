@@ -89,6 +89,25 @@ def cos_anneal_ratio(iter_step: jnp.ndarray, anneal_end: float) -> jnp.ndarray:
     return jnp.minimum(1.0, iter_step / anneal_end)
 
 
+def _sdf_sampling(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
+                  t: jnp.ndarray) -> jnp.ndarray:
+    """SDF query for *sampling-only* consumers (stop-gradient paths).
+
+    Large batches on TPU dispatch to the fused Pallas kernel
+    (kernels/fused_sdf.py), which keeps the whole deform+SDF activation chain
+    in VMEM; everything else falls back to the jnp implementation. The MXU
+    compute dtype follows the sampling matmul precision.
+    """
+    from endosurf_tpu.kernels.fused_sdf import (fused_sdf_available,
+                                                fused_sdf_observed)
+    from endosurf_tpu.ops.mlp import get_matmul_precision
+    if fused_sdf_available(x.shape[0]):
+        dtype = (jnp.bfloat16 if get_matmul_precision() == "default"
+                 else jnp.float32)
+        return fused_sdf_observed(spec, params, x, t, compute_dtype=dtype)
+    return sdf_observed(spec, params, x, t)
+
+
 def _stratified_z(near: jnp.ndarray, far: jnp.ndarray, n_samples: int,
                   key: Optional[jax.Array]) -> jnp.ndarray:
     """Uniform z with optional single per-ray jitter (endosurf.py:78-82)."""
@@ -116,7 +135,8 @@ def upsample_z(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
     def sdf_at(z):
         pts = rays_o[:, None, :] + rays_d_z[:, None, :] * z[..., None]
         tt = jnp.broadcast_to(t[:, None, :], (n_rays, z.shape[1], 1))
-        sdf = sdf_observed(spec, params, pts.reshape(-1, 3), tt.reshape(-1, 1))
+        sdf = _sdf_sampling(spec, params, pts.reshape(-1, 3),
+                            tt.reshape(-1, 1))
         return pts, sdf.reshape(n_rays, z.shape[1])
 
     pts, sdf = sdf_at(z_vals)
@@ -134,7 +154,7 @@ def upsample_z(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
             new_pts = (rays_o[:, None, :]
                        + rays_d_z[:, None, :] * new_z[..., None])
             tt = jnp.broadcast_to(t[:, None, :], (n_rays, n_per_step, 1))
-            new_sdf = sdf_observed(
+            new_sdf = _sdf_sampling(
                 spec, params, new_pts.reshape(-1, 3),
                 tt.reshape(-1, 1)).reshape(n_rays, n_per_step)
             z_vals, sdf = merge_sorted_z(z_vals, new_z, sdf, new_sdf)
@@ -286,8 +306,8 @@ def ray_march(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
     pts = rays_o[:, None, :] + d_prop[..., None] * rays_d_z[:, None, :]
     tt = jnp.broadcast_to(t[:, None, :], (n_rays, n_steps, 1))
 
-    sdf = sdf_observed(spec, params, pts.reshape(-1, 3),
-                       tt.reshape(-1, 1)).reshape(n_rays, n_steps)
+    sdf = _sdf_sampling(spec, params, pts.reshape(-1, 3),
+                        tt.reshape(-1, 1)).reshape(n_rays, n_steps)
     val = -(sdf - tau)  # occupancy-style: negative outside
 
     first_free = val[:, 0] < 0

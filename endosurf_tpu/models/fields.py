@@ -190,7 +190,15 @@ def inv_s(params: Params) -> jnp.ndarray:
 
 def _point_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
                 d: jnp.ndarray, t: jnp.ndarray):
-    """Single-point fused evaluation. x,d: [3], t: [1]."""
+    """Single-point fused evaluation. x,d: [3], t: [1].
+
+    The deform Jacobian uses forward-mode (3 basis tangents); the SDF spatial
+    gradient uses ONE reverse-mode vjp. Measured alternatives on the flagship
+    fwd+bwd (XLA cost analysis, 65k points): all-forward-mode gradients
+    (linearize + basis tangents) push traffic from 20.7 GB to 44.2 GB per
+    step because the outer reverse pass must differentiate through every
+    tangent propagation; the single inner vjp is the cheapest structure.
+    """
     def warp_fn(xi):
         return warp_to_canonical(spec, params, xi[None, :], t[None, :])[0]
 
@@ -252,7 +260,8 @@ def sdf_grad_observed(spec: EndoSurfSpec, params: Params,
 
     One vjp through the full warp+sdf composition per point; differentiable
     (second order) like the reference's autograd-with-create_graph
-    (endosurf.py:581-601).
+    (endosurf.py:581-601). (Forward-mode basis tangents measure strictly
+    worse under the outer reverse pass — see _point_eval docstring.)
     """
     def point(xi, ti):
         def f(xx):

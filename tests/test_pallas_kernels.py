@@ -53,6 +53,27 @@ def test_non_multiple_block_padding(small):
     _compare(spec, params, n=511)
 
 
+def test_dispatch_gate_cpu(small):
+    """On the CPU test backend the sampling dispatch must use the jnp path
+    (the Mosaic kernel only wins — and only compiles — on real TPUs)."""
+    from endosurf_tpu.kernels.fused_sdf import (fused_sdf_available,
+                                                set_fused_sdf_enabled)
+    assert not fused_sdf_available(1 << 20)  # cpu backend -> False
+    set_fused_sdf_enabled(False)
+    assert not fused_sdf_available(1 << 20)
+    set_fused_sdf_enabled(True)
+    # _sdf_sampling must agree with sdf_observed wherever it routes.
+    spec, params = small
+    import jax.numpy as jnp
+    from endosurf_tpu.models.endosurf import _sdf_sampling
+    x = jax.random.uniform(jax.random.PRNGKey(5), (9000, 3),
+                           minval=-0.8, maxval=0.8)
+    t = jax.random.uniform(jax.random.PRNGKey(6), (9000, 1))
+    np.testing.assert_allclose(
+        np.asarray(_sdf_sampling(spec, params, x, t)),
+        np.asarray(sdf_observed(spec, params, x, t)), rtol=1e-5, atol=1e-6)
+
+
 def test_full_size_spec_slice():
     # Full 9x256 networks through the kernel on a small batch.
     spec = EndoSurfSpec()
