@@ -359,15 +359,42 @@ def make_synthetic_arrays(n_frames: int = 4, h: int = 16, w: int = 16,
         list_train=ids[:-1], list_test=ids[-1:], depth_scale=100.0)
 
 
+def _orbit_pose(t_norm: float, orbit_deg: float,
+                dist: float = 2.0) -> np.ndarray:
+    """Camera-to-world pose on a look-at orbit around the origin.
+
+    Azimuth sweeps +-orbit_deg (and elevation +-orbit_deg/2) over the
+    sequence; orbit_deg=0 reduces exactly to the fixed camera at (0,0,-dist)
+    with identity rotation. Columns of R are the camera axes (x right,
+    y down, z forward — the image convention of rays_from_pixels).
+    """
+    az = np.radians(orbit_deg) * np.sin(2 * np.pi * t_norm)
+    el = np.radians(0.5 * orbit_deg) * np.cos(2 * np.pi * t_norm)
+    C = dist * np.array([np.sin(az) * np.cos(el), np.sin(el),
+                         -np.cos(az) * np.cos(el)])
+    z_cam = -C / np.linalg.norm(C)
+    x_cam = np.cross([0.0, 1.0, 0.0], z_cam)
+    x_cam = x_cam / np.linalg.norm(x_cam)
+    y_cam = np.cross(z_cam, x_cam)
+    pose = np.eye(4)
+    pose[:3, :3] = np.stack([x_cam, y_cam, z_cam], axis=1)
+    pose[:3, 3] = C
+    return pose
+
+
 def make_synthetic_scene(out_dir: str, n_frames: int = 8, h: int = 48,
                          w: int = 64, deform_amp: float = 0.1,
-                         seed: int = 0) -> str:
+                         seed: int = 0, orbit_deg: float = 0.0) -> str:
     """Generate a synthetic pulsating-sphere scene in the info-pkl schema.
 
     Writes color PNGs, float32 TIFF depths, mask PNGs, and an info pkl, then
     returns the pkl path. The scene: a Lambertian sphere of radius
-    0.5*(1 + deform_amp*sin(2 pi t)) at the origin, camera fixed at z=-2
-    looking down +z. Depth images are metric (mm-like) with
+    0.5*(1 + deform_amp*sin(2 pi t)) at the origin, observed from distance 2.
+    With orbit_deg=0 the camera is fixed at z=-2 looking down +z; with
+    orbit_deg>0 it orbits a +-orbit_deg look-at arc (multi-view supervision,
+    which the SDF needs for a well-conditioned mesh — single-viewpoint
+    training collapses the zero set to a thin fragmenting crust; see
+    VALIDATION.md). Depth images are metric (mm-like) with
     depth_norm_scale=100 so the normalized scene sits inside the unit sphere.
     """
     import os
@@ -379,9 +406,6 @@ def make_synthetic_scene(out_dir: str, n_frames: int = 8, h: int = 48,
     fx = fy = 0.8 * w
     cx, cy = w / 2.0, h / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
-    pose = np.eye(4)
-    pose[2, 3] = -2.0  # camera at z=-2, identity rotation (+z forward)
-    w2c = np.linalg.inv(pose)
     depth_norm_scale = 100.0
 
     world_mats, colors, depths, masks, bboxes, bounds = [], [], [], [], [], []
@@ -389,21 +413,31 @@ def make_synthetic_scene(out_dir: str, n_frames: int = 8, h: int = 48,
     # / reference dataset.py:223-228) shoots rays through integer coords.
     ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
                          np.arange(w, dtype=np.float64), indexing="ij")
-    dirs = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], -1)
+    dirs_cam = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], -1)
 
     for i in range(n_frames):
         t_norm = i / max(n_frames - 1, 1)
         radius = 0.5 * (1.0 + deform_amp * np.sin(2 * np.pi * t_norm))
-        # Analytic ray-sphere: o=(0,0,-2), d=dirs (z-normalized).
-        o = np.array([0.0, 0.0, -2.0])
-        d = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        pose = _orbit_pose(t_norm, orbit_deg)
+        R, o = pose[:3, :3], pose[:3, 3]
+        w2c = np.linalg.inv(pose)
+        # Analytic ray-sphere in world space: o = camera center, unit d.
+        d = dirs_cam @ R.T
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
         b = np.sum(d * o, -1)
         c = np.sum(o * o) - radius ** 2
         disc = b ** 2 - c
         hit = disc > 0
         t_hit = -b - np.sqrt(np.maximum(disc, 0.0))
         pts = o + t_hit[..., None] * d
+        # Depth images are WORLD-z depth: the 9-float ray contract divides
+        # directions by their world z-component (endosurf.py:66 — its real
+        # cameras are near-axis-aligned so world-z == camera-z there); the
+        # orbit cameras here stay within that convention's validity as long
+        # as every pixel ray keeps a positive world-z component.
         z_depth = np.where(hit, pts[..., 2] - o[2], 3.0)  # background at z=3
+        assert (d[..., 2] > 0.05).all(), (
+            "orbit too wide for the world-z depth convention")
 
         normal = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True),
                                   1e-6)
@@ -423,8 +457,9 @@ def make_synthetic_scene(out_dir: str, n_frames: int = 8, h: int = 48,
         depths.append((z_depth * depth_norm_scale).astype(np.float32))
         masks.append((mask * 255).astype(np.uint8))
         pad = 0.05
-        bboxes.append(np.stack([pts.min((0, 1)) - pad,
-                                pts.max((0, 1)) + pad], -1))
+        pts_box = pts[hit] if hit.any() else pts.reshape(-1, 3)
+        bboxes.append(np.stack([pts_box.min(0) - pad,
+                                pts_box.max(0) + pad], -1))
         bounds.append(np.array([z_depth[hit].min(), z_depth.max()])
                       * depth_norm_scale)
 

@@ -97,7 +97,15 @@ class Trainer:
         raise NotImplementedError
 
     # -- main loop ----------------------------------------------------------
-    def start(self, log_every: int = 100) -> None:
+    def start(self, log_every: int = 100,
+              stop_after: Optional[int] = None) -> None:
+        """Run the train loop from step_start to n_iter.
+
+        stop_after: optional step to pause at (a checkpoint is saved there).
+        Long runs on the tunneled TPU should be chunked into <=5k-dispatch
+        processes (the tunnel can wedge mid-run; see CLAUDE.md) — resume with
+        train.resume=True picks up from the saved step.
+        """
         t0 = time.time()
         rays_done = 0
         ray_batch = self.train_cfg.get("ray_batch", 1024)
@@ -107,12 +115,14 @@ class Trainer:
         prof_cfg = self.train_cfg.get("profile") or {}
         prof_start = prof_cfg.get("start", 0)
         prof_stop = prof_cfg.get("stop", 0)
+        end = self.n_iter if stop_after is None else min(stop_after,
+                                                         self.n_iter)
         try:
             from tqdm import trange
-            step_iter = trange(self.step_start, self.n_iter + 1,
+            step_iter = trange(self.step_start, end + 1,
                                desc="TRAIN", leave=True)
         except ImportError:
-            step_iter = range(self.step_start, self.n_iter + 1)
+            step_iter = range(self.step_start, end + 1)
         for step in step_iter:
             if prof_start and step == prof_start:
                 import jax
@@ -152,11 +162,13 @@ class Trainer:
                           f"|rays/s:{rays_done / dt:,.0f}", flush=True)
 
             if self.i_save > 0 and (step % self.i_save == 0
-                                    or step == self.n_iter):
+                                    or step == self.n_iter or step == end):
                 params, opt_state = self.checkpoint_state()
                 path = save_checkpoint(self.exp_dir, step, params, opt_state)
                 print(f"SAVE|iter:{step}/{self.n_iter}|path:{path}",
                       flush=True)
+        self.step_start = end + 1
         if self.writer is not None:
             self.writer.flush()
-        print("Training complete!", flush=True)
+        print("Training complete!" if end == self.n_iter
+              else f"Paused at {end}/{self.n_iter}.", flush=True)

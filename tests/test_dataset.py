@@ -117,6 +117,29 @@ def test_frame_rays_consistency(scene):
     np.testing.assert_allclose(r[mask], 0.5, atol=0.02)
 
 
+def test_orbit_scene_geometry(tmp_path):
+    """Multi-view variant: every frame's rays+depth unproject onto that
+    frame's sphere, and the cameras actually move."""
+    pkl = make_synthetic_scene(str(tmp_path), n_frames=6, h=24, w=32,
+                               orbit_deg=30.0)
+    scene = SceneData.load(pkl)
+    a = scene.device_arrays
+    cams = scene.poses[:, :3, 3]
+    # Camera centers all at distance 2 but spread out on the orbit.
+    np.testing.assert_allclose(np.linalg.norm(cams, axis=-1), 2.0, atol=1e-3)
+    assert np.ptp(cams[:, 0]) > 0.5 and np.ptp(cams[:, 1]) > 0.1
+    for fid in range(scene.n_frames):
+        rays = np.asarray(frame_rays(a, scene.h, scene.w, fid))
+        depth = np.asarray(a["depths"][fid])[..., 0]
+        mask = np.asarray(a["depth_masks"][fid])[..., 0] > 0
+        o, d = rays[..., :3], rays[..., 3:6]
+        pts = o + d / (d[..., 2:3] + 1e-6) * depth[..., None]
+        t_norm = fid / (scene.n_frames - 1)
+        radius = 0.5 * (1.0 + 0.1 * np.sin(2 * np.pi * t_norm))
+        np.testing.assert_allclose(np.linalg.norm(pts, axis=-1)[mask],
+                                   radius, atol=0.02)
+
+
 def test_importance_map_upweights_occluded(scene):
     a = scene.device_arrays
     w = np.asarray(a["sample_w"]).reshape(8, scene.h, scene.w)

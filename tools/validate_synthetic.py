@@ -1,12 +1,18 @@
 #!/usr/bin/env python
 """End-to-end learning validation on the synthetic pulsating-sphere scene.
 
-Trains EndoSurf for N steps, then reports eval PSNR/SSIM/depth-RMSE on the
-test frames and the demo-3D geometric error (gt point cloud -> extracted
-mesh, mm). This is the framework's "does it actually reconstruct" check in
-the absence of the (non-redistributable) surgical datasets.
+Trains EndoSurf (or EndoNeRF) for N steps, then reports eval
+PSNR/SSIM/depth-RMSE on the test frames and the demo-3D geometric error
+(gt point cloud -> extracted mesh, mm). This is the framework's "does it
+actually reconstruct" check in the absence of the (non-redistributable)
+surgical datasets.
 
-    python tools/validate_synthetic.py --steps 4000
+Long runs on the tunneled TPU must be chunked (the tunnel can wedge after
+~5k dispatches; CLAUDE.md): pass --exp-dir and --chunk and re-invoke until
+the final JSON line appears — each invocation resumes from the checkpoint.
+
+    python tools/validate_synthetic.py --steps 8000 --orbit 30 \
+        --exp-dir /tmp/val8k --chunk 4500     # run repeatedly until done
 """
 
 import argparse
@@ -25,17 +31,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--precision", default="default")
+    ap.add_argument("--sampling-precision", default="default")
     ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--orbit", type=float, default=0.0,
+                    help="camera orbit arc in degrees (0 = fixed camera)")
+    ap.add_argument("--size", type=int, nargs=2, default=(96, 128),
+                    metavar=("H", "W"))
     ap.add_argument("--model", default="endosurf",
                     choices=["endosurf", "endonerf"])
+    ap.add_argument("--exp-dir", default=None,
+                    help="persistent run dir (enables chunked resume)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="max train steps this process (0 = all remaining)")
+    ap.add_argument("--mc-res", type=int, default=96)
     args = ap.parse_args()
 
     from endosurf_tpu.data.scene_data import SceneData, make_synthetic_scene
 
-    scene_dir = tempfile.mkdtemp(prefix="validate_scene_")
-    pkl = make_synthetic_scene(scene_dir, n_frames=args.frames, h=96, w=128)
+    tmp_root = args.exp_dir or tempfile.mkdtemp(prefix="validate_run_")
+    scene_dir = osp.join(tmp_root, "scene")
+    pkl = make_synthetic_scene(scene_dir, n_frames=args.frames,
+                               h=args.size[0], w=args.size[1],
+                               orbit_deg=args.orbit)
     scene = SceneData.load(pkl)
-    tmp_root = tempfile.mkdtemp(prefix="validate_run_")
 
     steps = args.steps
     if args.model == "endosurf":
@@ -53,7 +71,8 @@ def main():
                       "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
                       "eikonal_loss_weight": 0.1,
                       "surf_neig_loss_weight": 0.1, "surf_neig_rad": 0.1,
-                      "resume": False, "matmul_precision": args.precision,
+                      "resume": True, "matmul_precision": args.precision,
+                      "sampling_precision": args.sampling_precision,
                       "remat": False,
                       "optim": {"lr": 5e-4, "lr_alpha": 0.05,
                                 "warm_up_end": max(1, steps // 20)},
@@ -61,9 +80,9 @@ def main():
             "net": {"bound": 1.0, "use_deform": True, "deform_network": {},
                     "sdf_network": {}, "color_network": {},
                     "deviation_network": {"init_val": 0.3}},
-            "log": {"i_eval": 0, "i_save": 0},
+            "log": {"i_eval": 0, "i_save": 2500},
             "demo": {"fps": 10, "ray_batch": 4096, "net_chunk": 65536,
-                     "marching_cubes_resolution": 96,
+                     "marching_cubes_resolution": args.mc_res,
                      "marching_cubes_thresh": 0},
         }
         trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
@@ -79,36 +98,55 @@ def main():
             "train": {"n_iter": steps, "ray_batch": 2048,
                       "mask_guided_ray_sampling": True,
                       "color_loss_weight": 1.0, "depth_loss_weight": 1.0,
-                      "resume": False,
+                      "resume": True, "matmul_precision": args.precision,
+                      "sampling_precision": args.sampling_precision,
                       "optim": {"lr": 5e-4, "lr_decay": 250},
                       "eval": {"ray_batch": 4096}},
             "net": {"use_deform": True, "raw_noise_std": 1.0},
-            "log": {"i_eval": 0, "i_save": 0},
+            "log": {"i_eval": 0, "i_save": 2500},
             "demo": {"fps": 10, "ray_batch": 4096, "net_chunk": 65536,
-                     "marching_cubes_resolution": 96,
+                     "marching_cubes_resolution": args.mc_res,
                      "marching_cubes_thresh": 5, "depth_filter": "None",
                      "marching_cubes_filter": 30},
         }
         trainer = EndoNeRFTrainer(cfg, mode="train", scene=scene)
 
-    t0 = time.perf_counter()
-    for step in range(1, steps + 1):
-        m = trainer.train_step(step)
-    train_psnr = float(np.asarray(m["psnr_color"]))  # host fetch = fence
-    train_s = time.perf_counter() - t0
+    step0 = trainer.step_start
+    if step0 <= steps:
+        stop_after = (step0 + args.chunk - 1) if args.chunk else None
+        t0 = time.perf_counter()
+        trainer.start(log_every=500, stop_after=stop_after)
+        train_s = time.perf_counter() - t0
+        done_steps = trainer.step_start - step0
+        if trainer.step_start <= steps:
+            print(json.dumps({
+                "model": args.model, "status": "paused",
+                "at_step": trainer.step_start - 1, "of": steps,
+                "chunk_s": round(train_s, 1),
+                "rays_per_sec": round(
+                    done_steps * cfg["train"]["ray_batch"] / train_s, 1),
+            }), flush=True)
+            return
+    else:
+        train_s = 0.0
+        done_steps = 0
 
     eval_stats = trainer.eval(steps)
     demo_stats = trainer.demo(steps, test_mode=True, visualize=False,
                               demo_2d=False, demo_3d=True)
-    print(json.dumps({
-        "model": args.model, "steps": steps, "precision": args.precision,
-        "train_s": round(train_s, 1),
-        "rays_per_sec": round(steps * cfg["train"]["ray_batch"] / train_s, 1),
-        "final_train_psnr": round(train_psnr, 2),
+    out = {
+        "model": args.model, "status": "done", "steps": steps,
+        "precision": args.precision,
+        "sampling_precision": args.sampling_precision,
+        "orbit_deg": args.orbit, "frames": args.frames,
         **{k: round(float(v), 4) for k, v in eval_stats.items()},
         "geo_err_mean_mm": round(demo_stats.get("geo_err_mean", float("nan")),
                                  4),
-    }), flush=True)
+    }
+    if done_steps:
+        out["rays_per_sec"] = round(
+            done_steps * cfg["train"]["ray_batch"] / train_s, 1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
