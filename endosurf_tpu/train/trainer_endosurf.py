@@ -197,12 +197,13 @@ class EndoSurfTrainer(Trainer):
 
     def demo_field_fn(self):
         """Scalar field for isosurface extraction: observed-space SDF
-        (reference extract_observation_geometry, endosurf.py:490-500)."""
-        from endosurf_tpu.models.fields import sdf_observed
+        (reference extract_observation_geometry, endosurf.py:490-500).
+        Grid chunks are large, so on TPU this rides the fused Pallas kernel."""
+        from endosurf_tpu.models.endosurf import _sdf_sampling
         spec, params = self.spec, self.params
 
         def fn(pts, t):
-            return sdf_observed(spec, params, pts, t)
+            return _sdf_sampling(spec, params, pts, t)
         return fn
 
     def demo_field_threshold(self, thresh: float) -> float:

@@ -178,10 +178,14 @@ class TestSamplingPrecision:
         spec, params = static_sphere
         rspec = RenderSpec()
         rays = make_rays(8)
-        assert get_sampling_precision() is None
-        base = render_rays(spec, rspec, params, rays, jnp.asarray(1000.0))
+        prev = get_sampling_precision()  # trainer tests may have set it
         set_sampling_precision(None)
-        again = render_rays(spec, rspec, params, rays, jnp.asarray(1000.0))
+        try:
+            base = render_rays(spec, rspec, params, rays, jnp.asarray(1000.0))
+            again = render_rays(spec, rspec, params, rays,
+                                jnp.asarray(1000.0))
+        finally:
+            set_sampling_precision(prev)
         np.testing.assert_array_equal(np.asarray(base["color_map"]),
                                       np.asarray(again["color_map"]))
 
@@ -191,6 +195,7 @@ class TestSamplingPrecision:
         spec, params = static_sphere
         rspec = RenderSpec()
         rays = make_rays(8)
+        set_sampling_precision(None)
         base = render_rays(spec, rspec, params, rays, jnp.asarray(1000.0))
         main_prec = get_matmul_precision()
         set_sampling_precision("default")

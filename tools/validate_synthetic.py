@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="max train steps this process (0 = all remaining)")
     ap.add_argument("--mc-res", type=int, default=96)
+    ap.add_argument("--i-eval", type=int, default=0,
+                    help="mid-training eval cadence (reference: 20000)")
     args = ap.parse_args()
 
     from endosurf_tpu.data.scene_data import SceneData, make_synthetic_scene
@@ -61,6 +63,9 @@ def main():
         cfg = {
             "exp": {"project_name": "validate", "exp_name": args.model,
                     "exp_dir": tmp_root, "seed": 0},
+            # info_dir makes the saved cfg.yml usable by the CLI afterwards
+            # (python -m endosurf_tpu --cfg <exp>/cfg.yml --mode demo).
+            "data": {"info_dir": pkl, "normalize_time": True},
             "render": {"type": "endosurf", "anneal_end": steps / 2.0,
                        "n_samples": 32, "n_importance": 32,
                        "important_begin_iter": 0, "up_sample_steps": 4,
@@ -80,7 +85,7 @@ def main():
             "net": {"bound": 1.0, "use_deform": True, "deform_network": {},
                     "sdf_network": {}, "color_network": {},
                     "deviation_network": {"init_val": 0.3}},
-            "log": {"i_eval": 0, "i_save": 2500},
+            "log": {"i_eval": args.i_eval, "i_save": 2500},
             "demo": {"fps": 10, "ray_batch": 4096, "net_chunk": 65536,
                      "marching_cubes_resolution": args.mc_res,
                      "marching_cubes_thresh": 0},
@@ -91,6 +96,7 @@ def main():
         cfg = {
             "exp": {"project_name": "validate", "exp_name": args.model,
                     "exp_dir": tmp_root, "seed": 0},
+            "data": {"info_dir": pkl, "normalize_time": True},
             "render": {"type": "endonerf", "n_samples": 64,
                        "n_importance": 64, "perturb": True,
                        "use_depth_sampling": True,
@@ -103,7 +109,7 @@ def main():
                       "optim": {"lr": 5e-4, "lr_decay": 250},
                       "eval": {"ray_batch": 4096}},
             "net": {"use_deform": True, "raw_noise_std": 1.0},
-            "log": {"i_eval": 0, "i_save": 2500},
+            "log": {"i_eval": args.i_eval, "i_save": 2500},
             "demo": {"fps": 10, "ray_batch": 4096, "net_chunk": 65536,
                      "marching_cubes_resolution": args.mc_res,
                      "marching_cubes_thresh": 5, "depth_filter": "None",
