@@ -37,6 +37,43 @@ from endosurf_tpu.native import rasterize_mesh
 from endosurf_tpu.utils.ply import write_ply
 
 
+def load_virtual_camera(path: str):
+    """Parse an Open3D PinholeCameraParameters JSON (the reference's
+    vis_cfg/virtual_cam_*.json format, selected at dataset.py:108-113).
+    Open3D stores matrices column-major. Returns (K [3,3], w2c [4,4], w, h).
+    """
+    import json
+    with open(path) as f:
+        data = json.load(f)
+    intr = data["intrinsic"]
+    K = np.asarray(intr["intrinsic_matrix"], np.float64).reshape(3, 3).T
+    w2c = np.asarray(data["extrinsic"], np.float64).reshape(4, 4).T
+    return K, w2c, int(intr["width"]), int(intr["height"])
+
+
+def resolve_virtual_camera(cfg: Dict, scene):
+    """Demo screenshot camera from config: a vis_cfg JSON path, or "mean"
+    (fixed camera at the average frame pose — a scene-agnostic stand-in for
+    the reference's hand-tuned per-dataset virtual cameras). None = shoot
+    each frame from its own camera."""
+    spec = cfg.get("virtual_camera")
+    if not spec:
+        return None
+    if isinstance(spec, str) and spec != "mean":
+        return load_virtual_camera(spec)
+    poses = scene.poses
+    Rm = poses[:, :3, :3].mean(0)
+    u, _, vt = np.linalg.svd(Rm)
+    R = u @ vt
+    if np.linalg.det(R) < 0:
+        R = u @ np.diag([1.0, 1.0, -1.0]) @ vt
+    pose = np.eye(4)
+    pose[:3, :3] = R
+    pose[:3, 3] = poses[:, :3, 3].mean(0)
+    return (scene.intrinsics[0][:3, :3], np.linalg.inv(pose),
+            scene.w, scene.h)
+
+
 def _screenshot(verts, tris, colors, K, w2c, h, w):
     """Project a world-space mesh through a camera and rasterize."""
     if len(verts) == 0:
@@ -140,6 +177,9 @@ def run_demo(trainer, step: int, test_mode: bool = False,
         d3 = osp.join(base_dir,
                       f"{tag}_3d_thresh_{thresh}_res_{mesh_resolution}")
         os.makedirs(d3, exist_ok=True)
+        # Optional fixed virtual camera for mesh screenshots (reference
+        # vis_cfg/virtual_cam_*.json; demo.virtual_camera = path | "mean").
+        vcam = resolve_virtual_camera(cfg, scene)
         view_point = scene.poses[:, :3, 3].mean(0)
         import jax
         field_fn = jax.jit(trainer.demo_field_fn())  # one cache, all frames
@@ -172,8 +212,12 @@ def run_demo(trainer, step: int, test_mode: bool = False,
             geo_errs.append(geometric_error(pcd_pts, verts, ds))
 
             if visualize:
-                K = scene.intrinsics[fid][:3, :3]
-                w2c = np.linalg.inv(scene.poses[fid])
+                if vcam is not None:
+                    K, w2c, shot_w, shot_h = vcam
+                else:
+                    K = scene.intrinsics[fid][:3, :3]
+                    w2c = np.linalg.inv(scene.poses[fid])
+                    shot_w, shot_h = scene.w, scene.h
                 shade = np.clip(
                     np.abs(cm["normals"] @ (-w2c[2, :3])), 0.2, 1.0)
                 for kind, col in (
@@ -181,7 +225,7 @@ def run_demo(trainer, step: int, test_mode: bool = False,
                         ("color", cm["color"]),
                         ("normal", cm["normal_color"])):
                     img = _screenshot(verts, tris, col, K, w2c,
-                                      scene.h, scene.w)
+                                      shot_h, shot_w)
                     mesh_shots.setdefault(kind, []).append(to8b(img))
                     iio.imwrite(osp.join(d3, f"{i:03d}_{kind}.png"),
                                 to8b(img))
@@ -202,9 +246,21 @@ def run_demo(trainer, step: int, test_mode: bool = False,
     if demo_2d and demo_3d and visualize and shows_2d:
         df = osp.join(base_dir, f"{tag}_final")
         os.makedirs(df, exist_ok=True)
+
+        def match_h(img, h):
+            if img.shape[0] == h:
+                return img
+            import cv2
+            return cv2.resize(img, (max(1, int(img.shape[1] * h
+                                               / img.shape[0])), h))
+
         frames = []
         for i in range(len(fids)):
-            panels = [shows_2d[i]] + [mesh_shots[k][i] for k in mesh_shots]
+            # A virtual camera may shoot at a different resolution than the
+            # 2D renders; normalize heights before compositing.
+            panels = [shows_2d[i]] + [
+                match_h(mesh_shots[k][i], shows_2d[i].shape[0])
+                for k in mesh_shots]
             row = hstack_labeled(panels,
                                  ["render"] + [f"mesh_{k}" for k in mesh_shots])
             frames.append(row)

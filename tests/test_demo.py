@@ -62,3 +62,44 @@ def test_demo_end_to_end(tmp_path, tmp_path_factory):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_virtual_camera_loader(tmp_path):
+    """Open3D PinholeCameraParameters JSON (column-major) parses correctly."""
+    import json
+
+    from endosurf_tpu.evaluation.demo import load_virtual_camera
+
+    K = np.array([[440.0, 0, 255.5], [0, 441.0, 254.5], [0, 0, 1.0]])
+    w2c = np.eye(4)
+    w2c[:3, 3] = [0.1, 0.2, 1.3]
+    data = {
+        "class_name": "PinholeCameraParameters",
+        "extrinsic": list(w2c.T.reshape(-1)),
+        "intrinsic": {"width": 512, "height": 480,
+                      "intrinsic_matrix": list(K.T.reshape(-1))},
+        "version_major": 1, "version_minor": 0,
+    }
+    p = str(tmp_path / "vcam.json")
+    with open(p, "w") as f:
+        json.dump(data, f)
+    K2, w2c2, w, h = load_virtual_camera(p)
+    np.testing.assert_allclose(K2, K)
+    np.testing.assert_allclose(w2c2, w2c)
+    assert (w, h) == (512, 480)
+
+
+def test_demo_with_virtual_camera(tmp_path, tmp_path_factory):
+    """demo.virtual_camera="mean" shoots every mesh from one fixed camera."""
+    d = tmp_path_factory.mktemp("demo_vcam_scene")
+    pkl = make_synthetic_scene(str(d), n_frames=4, h=20, w=24, orbit_deg=25.0)
+    scene = SceneData.load(pkl)
+    cfg = tiny_cfg(str(tmp_path), n_iter=2)
+    cfg["demo"]["virtual_camera"] = "mean"
+    trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
+    trainer.train_step(1)
+    stats = trainer.demo(1, test_mode=True, visualize=True,
+                         demo_2d=True, demo_3d=True)
+    assert np.isfinite(stats["geo_err_mean"])
+    base = osp.join(trainer.exp_dir, "demo", "iter_00000001")
+    assert osp.exists(osp.join(base, "test_final", "demo.mp4"))
