@@ -47,6 +47,19 @@ _MATMUL_PRECISION: str = "highest"
 # precision. None = inherit the main precision.
 _SAMPLING_PRECISION: Optional[str] = None
 
+# Optional storage dtype for hidden activations. The flagship fwd+bwd is
+# HBM-bandwidth-bound on saved activations (VALIDATION.md: 20.7 GB/step);
+# bf16 storage halves that traffic. None = keep f32. Applies between layers
+# only — matmul accumulation stays f32 via preferred precision.
+_ACTIVATION_DTYPE = None
+
+
+def set_activation_dtype(dtype: Optional[str]) -> None:
+    """None | "bfloat16" — storage dtype for hidden MLP activations."""
+    global _ACTIVATION_DTYPE
+    assert dtype in (None, "bfloat16", "float32")
+    _ACTIVATION_DTYPE = jnp.bfloat16 if dtype == "bfloat16" else None
+
 
 def set_matmul_precision(precision: str) -> None:
     global _MATMUL_PRECISION
@@ -242,6 +255,7 @@ def skip_mlp_apply(
     act = ACTIVATIONS[activation]
     layers = params["layers"]
     n_layers = len(layers)
+    act_dtype = _ACTIVATION_DTYPE
     h = x_enc
     for l, layer in enumerate(layers):
         if l in skips:
@@ -249,4 +263,8 @@ def skip_mlp_apply(
         h = linear_apply(layer, h)
         if l != n_layers - 1:
             h = act(h)
+            if act_dtype is not None:
+                # Store the activation narrow (this IS the saved residual);
+                # the next dot re-promotes, accumulation stays f32.
+                h = h.astype(act_dtype)
     return h

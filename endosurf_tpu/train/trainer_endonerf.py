@@ -69,11 +69,13 @@ class EndoNeRFTrainer(Trainer):
 
         # Same TPU execution knobs as the EndoSurf trainer: "high" (bf16x3)
         # main passes, bf16 for the stop-gradient coarse importance pass.
-        from endosurf_tpu.ops.mlp import (set_matmul_precision,
+        from endosurf_tpu.ops.mlp import (set_activation_dtype,
+                                          set_matmul_precision,
                                           set_sampling_precision)
         set_matmul_precision(self.train_cfg.get("matmul_precision", "high"))
         set_sampling_precision(
             self.train_cfg.get("sampling_precision", "default"))
+        set_activation_dtype(self.train_cfg.get("activation_dtype"))
 
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)

@@ -109,7 +109,8 @@ class EndoSurfTrainer(Trainer):
         # ~1.6x the step rate; "default" (bf16) gives ~2.4x at ~1dB train
         # PSNR / ~12% depth-RMSE cost; "highest" is exact f32 for strict
         # parity runs. Remat off: the flagship step fits HBM comfortably.
-        from endosurf_tpu.ops.mlp import (set_matmul_precision,
+        from endosurf_tpu.ops.mlp import (set_activation_dtype,
+                                          set_matmul_precision,
                                           set_sampling_precision)
         set_matmul_precision(self.train_cfg.get("matmul_precision", "high"))
         # Stop-gradient sampling paths (importance upsampling + sphere-traced
@@ -117,6 +118,9 @@ class EndoSurfTrainer(Trainer):
         # bf16 there is quality-neutral (tools/quality_precision.py).
         set_sampling_precision(
             self.train_cfg.get("sampling_precision", "default"))
+        # Opt-in bf16 activation storage (halves the HBM-bound fwd+bwd
+        # traffic; quality implications measured in VALIDATION.md).
+        set_activation_dtype(self.train_cfg.get("activation_dtype"))
         self.remat = bool(self.train_cfg.get("remat", False))
 
         seed = cfg.get("exp", {}).get("seed", 0)

@@ -166,3 +166,33 @@ def test_skip_forward_matches_torch_reference_semantics():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_activation_dtype_mode():
+    """bf16 activation storage: close to f32 results, restores cleanly, and
+    gradients stay finite (second-order included via a grad-of-grad probe)."""
+    import jax
+    import jax.numpy as jnp
+
+    from endosurf_tpu.ops.mlp import (init_skip_mlp, set_activation_dtype,
+                                      skip_mlp_apply)
+
+    params = init_skip_mlp(jax.random.PRNGKey(0), 4, 64, 16, 3, (2,),
+                           style="nerf")
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 16))
+    base = np.asarray(skip_mlp_apply(params, x, skips=(2,)))
+    set_activation_dtype("bfloat16")
+    try:
+        fast = skip_mlp_apply(params, x, skips=(2,))
+        assert fast.dtype == jnp.float32  # final layer output stays f32
+        np.testing.assert_allclose(base, np.asarray(fast), atol=0.05,
+                                   rtol=0.05)
+
+        def f(xx):
+            return jnp.sum(skip_mlp_apply(params, xx, skips=(2,)) ** 2)
+        g = jax.grad(lambda xx: jnp.sum(jax.grad(f)(xx) ** 2))(x)
+        assert np.isfinite(np.asarray(g)).all()
+    finally:
+        set_activation_dtype(None)
+    again = np.asarray(skip_mlp_apply(params, x, skips=(2,)))
+    np.testing.assert_array_equal(base, again)
