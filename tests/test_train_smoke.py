@@ -148,3 +148,24 @@ def test_ablation_zero_weights_compile_out(tmp_path, scene):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_stop_after_pause_and_resume(tmp_path, scene):
+    """start(stop_after=k) checkpoints at k; a fresh resume=True trainer
+    picks up at k+1 and finishes — the chunked long-run contract."""
+    cfg = tiny_cfg(str(tmp_path), n_iter=5)
+    tr = EndoSurfTrainer(cfg, mode="train", scene=scene)
+    tr.start(log_every=100, stop_after=2)
+    assert tr.step_start == 3
+
+    cfg2 = tiny_cfg(str(tmp_path), n_iter=5)
+    cfg2["train"]["resume"] = True
+    tr2 = EndoSurfTrainer(cfg2, mode="train", scene=scene)
+    assert tr2.step_start == 3
+    tr2.start(log_every=100)
+    assert tr2.step_start == 6
+
+    cfg3 = tiny_cfg(str(tmp_path), n_iter=5)
+    cfg3["train"]["resume"] = True
+    tr3 = EndoSurfTrainer(cfg3, mode="train", scene=scene)
+    assert tr3.step_start == 6  # nothing left to do
