@@ -57,7 +57,8 @@ def main():
 
     from endosurf_tpu.ops.mlp import (set_matmul_precision,
                                       set_sampling_precision)
-    set_matmul_precision("high")       # shipping default (see PARITY.md)
+    set_matmul_precision("default")    # shipping default: bf16 MXU passes —
+    # quality-neutral vs bf16x3 at 8k-step multi-view horizons (VALIDATION.md)
     set_sampling_precision("default")  # bf16 stop-gradient sampling paths
 
     scene = _synthetic_arrays(n_frames=8, h=512, w=640)

@@ -47,15 +47,23 @@ _MATMUL_PRECISION: str = "highest"
 # precision. None = inherit the main precision.
 _SAMPLING_PRECISION: Optional[str] = None
 
-# Optional storage dtype for hidden activations. The flagship fwd+bwd is
-# HBM-bandwidth-bound on saved activations (VALIDATION.md: 20.7 GB/step);
-# bf16 storage halves that traffic. None = keep f32. Applies between layers
-# only — matmul accumulation stays f32 via preferred precision.
+# Optional storage dtype for the field-MLP compute path. The flagship
+# fwd+bwd is HBM-bandwidth-bound on saved activations (VALIDATION.md:
+# 20.7 GB/step). When set to bf16, the whole MLP interior runs narrow:
+# encoded inputs, effective weights, biases, pre- and post-activation
+# tensors are all bf16, so every residual the backward pass re-reads is
+# half-width (the TPU MXU still accumulates bf16 matmuls in f32
+# internally). The final layer output is cast back to the caller's dtype
+# so renderer/loss math stays f32. NOTE: a mere post-activation
+# ``astype`` does NOT work — JAX promotes bf16 @ f32 back to f32 before
+# the dot and XLA stores the wide tensor; measured bytes-accessed was
+# bit-identical (tools/scratch_act_bytes.py). Both dot operands must be
+# narrow for anything narrow to be stored.
 _ACTIVATION_DTYPE = None
 
 
 def set_activation_dtype(dtype: Optional[str]) -> None:
-    """None | "bfloat16" — storage dtype for hidden MLP activations."""
+    """None | "bfloat16" — storage dtype for the field-MLP interior."""
     global _ACTIVATION_DTYPE
     assert dtype in (None, "bfloat16", "float32")
     _ACTIVATION_DTYPE = jnp.bfloat16 if dtype == "bfloat16" else None
@@ -228,13 +236,25 @@ def init_skip_mlp(
 
 
 def linear_apply(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply one (possibly weight-normalized) linear layer."""
+    """Apply one (possibly weight-normalized) linear layer.
+
+    The weight-norm renormalization always runs in f32 (it is per-step,
+    point-independent work that XLA hoists out of the batched loop); the
+    effective weight is then cast to the incoming activation dtype so a
+    bf16 storage mode stays bf16 end-to-end through the dot.
+    """
     prec = _MATMUL_PRECISION
     if "v" in layer:
         v = layer["v"]
         scale = layer["g"] / (jnp.linalg.norm(v, axis=0) + 1e-12)
-        return jnp.dot(x, v * scale[None, :], precision=prec) + layer["b"]
-    return jnp.dot(x, layer["w"], precision=prec) + layer["b"]
+        w = v * scale[None, :]
+    else:
+        w = layer["w"]
+    b = layer["b"]
+    if x.dtype != w.dtype:
+        w = w.astype(x.dtype)
+        b = b.astype(x.dtype)
+    return jnp.dot(x, w, precision=prec) + b
 
 
 def skip_mlp_apply(
@@ -255,7 +275,13 @@ def skip_mlp_apply(
     act = ACTIVATIONS[activation]
     layers = params["layers"]
     n_layers = len(layers)
-    act_dtype = _ACTIVATION_DTYPE
+    sd = _ACTIVATION_DTYPE
+    out_dtype = x_enc.dtype
+    if sd is not None:
+        # Narrow the whole MLP interior (see _ACTIVATION_DTYPE note): the
+        # encoded input, every dot operand, and every saved residual run
+        # at the storage dtype; only the final output is widened back.
+        x_enc = x_enc.astype(sd)
     h = x_enc
     for l, layer in enumerate(layers):
         if l in skips:
@@ -263,8 +289,4 @@ def skip_mlp_apply(
         h = linear_apply(layer, h)
         if l != n_layers - 1:
             h = act(h)
-            if act_dtype is not None:
-                # Store the activation narrow (this IS the saved residual);
-                # the next dot re-promotes, accumulation stays f32.
-                h = h.astype(act_dtype)
-    return h
+    return h.astype(out_dtype) if sd is not None else h

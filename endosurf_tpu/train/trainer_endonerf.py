@@ -67,12 +67,14 @@ class EndoNeRFTrainer(Trainer):
         self.spec = DNeRFSpec.from_config(cfg["net"])
         self.rspec = DNeRFRenderSpec.from_config(cfg["render"])
 
-        # Same TPU execution knobs as the EndoSurf trainer: "high" (bf16x3)
-        # main passes, bf16 for the stop-gradient coarse importance pass.
+        # Same TPU execution knobs as the EndoSurf trainer: bf16 ("default")
+        # main passes, bf16 for the stop-gradient coarse importance pass
+        # (quality evidence in VALIDATION.md).
         from endosurf_tpu.ops.mlp import (set_activation_dtype,
                                           set_matmul_precision,
                                           set_sampling_precision)
-        set_matmul_precision(self.train_cfg.get("matmul_precision", "high"))
+        set_matmul_precision(
+            self.train_cfg.get("matmul_precision", "default"))
         set_sampling_precision(
             self.train_cfg.get("sampling_precision", "default"))
         set_activation_dtype(self.train_cfg.get("activation_dtype"))

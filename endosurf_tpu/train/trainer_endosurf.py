@@ -105,14 +105,17 @@ class EndoSurfTrainer(Trainer):
         # TPU execution knobs (no reference equivalent): field-MLP matmul
         # precision and backward-pass rematerialization.
         # Measured on TPU v5e (tools/bench_matrix.py, tools/
-        # quality_precision.py): "high" (bf16x3) matches f32 quality at
-        # ~1.6x the step rate; "default" (bf16) gives ~2.4x at ~1dB train
-        # PSNR / ~12% depth-RMSE cost; "highest" is exact f32 for strict
-        # parity runs. Remat off: the flagship step fits HBM comfortably.
+        # quality_precision.py, 8k-step multi-view runs in VALIDATION.md):
+        # "default" (bf16 MXU) matches "high" (bf16x3) on PSNR/SSIM/geo-error
+        # at realistic horizons within noise (depth RMSE +0.19 mm) at ~1.33x
+        # the step rate, so bf16 ships as the default; "high" for
+        # conservative runs, "highest" (exact f32) for strict parity runs.
+        # Remat off: the flagship step fits HBM comfortably.
         from endosurf_tpu.ops.mlp import (set_activation_dtype,
                                           set_matmul_precision,
                                           set_sampling_precision)
-        set_matmul_precision(self.train_cfg.get("matmul_precision", "high"))
+        set_matmul_precision(
+            self.train_cfg.get("matmul_precision", "default"))
         # Stop-gradient sampling paths (importance upsampling + sphere-traced
         # ray march) default to bf16: they only pick sample locations, and
         # bf16 there is quality-neutral (tools/quality_precision.py).

@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--precision", default="high")
     ap.add_argument("--sampling-precision", default="default")
+    ap.add_argument("--activation-dtype", default=None,
+                    choices=[None, "bfloat16", "float32"],
+                    help="narrow the field-MLP interior (ops/mlp.py)")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +72,8 @@ def main():
     from endosurf_tpu.models.fields import (EndoSurfSpec, fused_point_eval,
                                             init_endosurf_params)
     from endosurf_tpu.ops.geometry import ray_sphere_intersection
-    from endosurf_tpu.ops.mlp import (set_matmul_precision,
+    from endosurf_tpu.ops.mlp import (set_activation_dtype,
+                                      set_matmul_precision,
                                       set_sampling_precision)
     from endosurf_tpu.train.schedules import warmup_cosine
     from endosurf_tpu.train.trainer_endosurf import make_train_step
@@ -77,6 +81,7 @@ def main():
     set_matmul_precision(args.precision)
     set_sampling_precision(None if args.sampling_precision == "none"
                            else args.sampling_precision)
+    set_activation_dtype(args.activation_dtype)
 
     scene = make_synthetic_arrays(n_frames=8, h=512, w=640)
     spec, rspec = EndoSurfSpec(), RenderSpec()
