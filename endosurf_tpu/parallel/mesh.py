@@ -38,6 +38,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def constrain_axis0(x, mesh: Optional[Mesh]):
+    """Pin an array's leading axis to the data mesh (inference paths).
+
+    Used by the eval/demo render closures so full-frame rendering and demo
+    grid extraction also fan out over all chips when data_parallel is on.
+    No-op when there is no mesh or the axis doesn't divide evenly (odd
+    grid tails) — the math is identical either way, only the layout moves.
+    """
+    if mesh is None or x.shape[0] % mesh.size != 0:
+        return x
+    return jax.lax.with_sharding_constraint(x, ray_sharding(mesh))
+
+
 def shard_ray_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Pin per-ray tensors to the data axis; scalars stay replicated."""
     ray_sh = ray_sharding(mesh)

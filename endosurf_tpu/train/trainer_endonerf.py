@@ -155,12 +155,14 @@ class EndoNeRFTrainer(Trainer):
     normals_from_depth = True
 
     def render_fn(self, use_importance: bool = True):
-        spec, rspec = self.spec, self.rspec
+        from endosurf_tpu.parallel.mesh import constrain_axis0
+        spec, rspec, mesh = self.spec, self.rspec, self.mesh
 
         @jax.jit
         def fn(params, rays, step_f):
             del step_f
-            return render_rays(spec, rspec, params, rays, key=None,
+            return render_rays(spec, rspec, params,
+                               constrain_axis0(rays, mesh), key=None,
                                want_normals=False)
         return fn
 
@@ -169,10 +171,12 @@ class EndoNeRFTrainer(Trainer):
         marching-tetrahedra convention (reference extracts density > thresh,
         endonerf.py:227-238)."""
         from endosurf_tpu.models.endonerf import density_observed
-        spec, params = self.spec, self.params
+        from endosurf_tpu.parallel.mesh import constrain_axis0
+        spec, params, mesh = self.spec, self.params, self.mesh
 
         def fn(pts, t):
-            return -density_observed(spec, params, pts, t)
+            return -density_observed(spec, params, constrain_axis0(pts, mesh),
+                                     constrain_axis0(t, mesh))
         return fn
 
     def demo_field_threshold(self, thresh: float) -> float:
@@ -181,10 +185,14 @@ class EndoNeRFTrainer(Trainer):
     def render_points_fn(self):
         """Surface-point coloring (reference renderonpts, endonerf.py:240-258)."""
         from endosurf_tpu.models.endonerf import field_eval
-        spec = self.spec
+        from endosurf_tpu.parallel.mesh import constrain_axis0
+        spec, mesh = self.spec, self.mesh
 
         @jax.jit
         def fn(params, pts, dirs, t):
+            pts, dirs, t = (constrain_axis0(pts, mesh),
+                            constrain_axis0(dirs, mesh),
+                            constrain_axis0(t, mesh))
             rgb, _ = field_eval(spec, params, pts, dirs, t)
             return rgb
 

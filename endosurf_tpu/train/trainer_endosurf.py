@@ -195,9 +195,16 @@ class EndoSurfTrainer(Trainer):
 
     # -- offline inference helpers (used by eval/demo modules) --------------
     def render_fn(self, use_importance: bool = True):
-        """Jitted chunked render closure for full-frame evaluation."""
+        """Jitted chunked render closure for full-frame evaluation.
+
+        With data_parallel on, eval ray chunks are sharded over the mesh
+        like training batches — full-frame rendering scales with chips."""
+        from endosurf_tpu.parallel.mesh import constrain_axis0
+        mesh = self.mesh
+
         @functools.partial(jax.jit, static_argnames=())
         def fn(params, rays, step_f):
+            rays = constrain_axis0(rays, mesh)
             return render_rays(self.spec, self.rspec, params, rays, step_f,
                                key=None, use_importance=use_importance)
         return fn
@@ -205,12 +212,15 @@ class EndoSurfTrainer(Trainer):
     def demo_field_fn(self):
         """Scalar field for isosurface extraction: observed-space SDF
         (reference extract_observation_geometry, endosurf.py:490-500).
-        Grid chunks are large, so on TPU this rides the fused Pallas kernel."""
+        Grid chunks are large, so on TPU this rides the fused Pallas kernel
+        and, with data_parallel on, fans out over the mesh."""
         from endosurf_tpu.models.endosurf import _sdf_sampling
-        spec, params = self.spec, self.params
+        from endosurf_tpu.parallel.mesh import constrain_axis0
+        spec, params, mesh = self.spec, self.params, self.mesh
 
         def fn(pts, t):
-            return _sdf_sampling(spec, params, pts, t)
+            return _sdf_sampling(spec, params, constrain_axis0(pts, mesh),
+                                 constrain_axis0(t, mesh))
         return fn
 
     def demo_field_threshold(self, thresh: float) -> float:
@@ -219,10 +229,14 @@ class EndoSurfTrainer(Trainer):
     def render_points_fn(self):
         """Surface-point coloring (reference renderonpts, endosurf.py:502-521)."""
         from endosurf_tpu.models.fields import fused_point_eval
-        spec = self.spec
+        from endosurf_tpu.parallel.mesh import constrain_axis0
+        spec, mesh = self.spec, self.mesh
 
         @jax.jit
         def fn(params, pts, dirs, t):
+            pts, dirs, t = (constrain_axis0(pts, mesh),
+                            constrain_axis0(dirs, mesh),
+                            constrain_axis0(t, mesh))
             return fused_point_eval(spec, params, pts, dirs, t)["color"]
 
         params = self.params

@@ -152,5 +152,37 @@ def test_ray_batch_actually_sharded():
     assert out["rays"].addressable_shards[0].data.shape == (8, 9)
 
 
+def test_eval_render_sharded_matches_replicated(tmp_path):
+    """The eval/demo render closures must produce identical pixels with and
+    without the mesh: constrain_axis0 is layout-only. Also checks the odd-
+    size no-op path (axis not divisible by the mesh)."""
+    from endosurf_tpu.data.scene_data import SceneData, make_synthetic_scene
+    from endosurf_tpu.parallel.mesh import constrain_axis0
+    from endosurf_tpu.train.trainer_endosurf import EndoSurfTrainer
+    from tests.test_train_smoke import tiny_cfg
+
+    pkl = make_synthetic_scene(str(tmp_path / "scene"), n_frames=3, h=16,
+                               w=16)
+    scene = SceneData.load(pkl)
+    rays = np.array(jax.random.normal(jax.random.PRNGKey(0), (32, 9)))
+    rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+    rays[:, 8] = 0.5
+
+    outs = {}
+    for dp in (False, True):
+        cfg = tiny_cfg(str(tmp_path / f"dp{dp}"), n_iter=2)
+        cfg["parallel"] = {"data_parallel": dp}
+        tr = EndoSurfTrainer(cfg, mode="train", scene=scene)
+        out = tr.render_fn()(tr.params, jnp.asarray(rays), jnp.asarray(1.0))
+        outs[dp] = np.asarray(out["color_map"])
+        if dp:
+            assert len(out["color_map"].sharding.device_set) == 8
+    np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-6)
+
+    # Odd leading axis: constraint is a no-op, not an error.
+    odd = jnp.zeros((15, 3))
+    assert constrain_axis0(odd, make_mesh(8)) is odd
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

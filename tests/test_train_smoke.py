@@ -125,6 +125,26 @@ def test_loss_decreases(tmp_path, scene):
     assert last < 0.8 * first, (first, last)
 
 
+def test_bf16_activation_storage_trains(tmp_path, scene):
+    """activation_dtype=bfloat16 (narrow MLP interior): the full six-loss
+    step stays finite, params move, and the global knob is restored."""
+    from endosurf_tpu.ops.mlp import set_activation_dtype
+    cfg = tiny_cfg(str(tmp_path), n_iter=3)
+    cfg["train"]["activation_dtype"] = "bfloat16"
+    trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
+    try:
+        p_before = np.asarray(
+            trainer.params["sdf_network"]["layers"][0]["v"]).copy()
+        for step in (1, 2, 3):
+            m = trainer.train_step(step)
+            assert np.isfinite(float(np.asarray(m["loss_total"])))
+        p_after = np.asarray(trainer.params["sdf_network"]["layers"][0]["v"])
+        assert not np.allclose(p_before, p_after)
+        assert p_after.dtype == np.float32  # master params stay wide
+    finally:
+        set_activation_dtype(None)
+
+
 def test_static_variant_trains(tmp_path, scene):
     """use_deform False (SCARED-style configs): step runs, grads flow."""
     cfg = tiny_cfg(str(tmp_path), n_iter=2)
