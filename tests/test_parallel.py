@@ -168,16 +168,23 @@ def test_eval_render_sharded_matches_replicated(tmp_path):
     rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
     rays[:, 8] = 0.5
 
-    outs = {}
+    pts = np.array(jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                                      minval=-0.5, maxval=0.5))
+    outs, fields = {}, {}
     for dp in (False, True):
         cfg = tiny_cfg(str(tmp_path / f"dp{dp}"), n_iter=2)
         cfg["parallel"] = {"data_parallel": dp}
         tr = EndoSurfTrainer(cfg, mode="train", scene=scene)
         out = tr.render_fn()(tr.params, jnp.asarray(rays), jnp.asarray(1.0))
         outs[dp] = np.asarray(out["color_map"])
+        field = jax.jit(tr.demo_field_fn())(
+            jnp.asarray(pts), jnp.full((64, 1), 0.5))
+        fields[dp] = np.asarray(field)
         if dp:
             assert len(out["color_map"].sharding.device_set) == 8
     np.testing.assert_allclose(outs[True], outs[False], rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(fields[True], fields[False], rtol=2e-5,
+                               atol=2e-6)
 
     # Odd leading axis: constraint is a no-op, not an error.
     odd = jnp.zeros((15, 3))
