@@ -188,39 +188,68 @@ def inv_s(params: Params) -> jnp.ndarray:
 # fused per-point evaluation
 # ---------------------------------------------------------------------------
 
+# How the deform Jacobian's two products (J @ d, J^T @ grad_c) are formed:
+#   "jacfwd"    — materialize J via 3 basis tangents (primal + 3 tangent
+#                 MLP passes), then two 3x3 matvecs;
+#   "linearize" — jax.linearize (primal + 1 tangent pass for J @ d) and
+#                 jax.linear_transpose of the tangent map (1 transpose
+#                 pass for J^T @ grad_c) — one fewer full deform pass.
+# Both are exact; which compiles cheaper under the outer double-backprop
+# is an empirical question (tools/check_act_bytes.py / profile_step.py).
+_DEFORM_JAC_MODE = "jacfwd"
+
+
+def set_deform_jac_mode(mode: str) -> None:
+    global _DEFORM_JAC_MODE
+    assert mode in ("jacfwd", "linearize")
+    _DEFORM_JAC_MODE = mode
+
+
 def _point_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
                 d: jnp.ndarray, t: jnp.ndarray):
     """Single-point fused evaluation. x,d: [3], t: [1].
 
-    The deform Jacobian uses forward-mode (3 basis tangents); the SDF spatial
-    gradient uses ONE reverse-mode vjp. Measured alternatives on the flagship
-    fwd+bwd (XLA cost analysis, 65k points): all-forward-mode gradients
-    (linearize + basis tangents) push traffic from 20.7 GB to 44.2 GB per
-    step because the outer reverse pass must differentiate through every
-    tangent propagation; the single inner vjp is the cheapest structure.
+    The deform Jacobian products use forward-mode structures; the SDF
+    spatial gradient uses ONE reverse-mode vjp. Measured alternatives on
+    the flagship fwd+bwd (XLA cost analysis, 65k points): all-forward-mode
+    gradients (linearize + basis tangents replacing the inner sdf vjp)
+    push traffic from 20.7 GB to 44.2 GB per step because the outer
+    reverse pass must differentiate through every tangent propagation;
+    the single inner vjp is the cheapest structure for the sdf gradient.
     """
     def warp_fn(xi):
         return warp_to_canonical(spec, params, xi[None, :], t[None, :])[0]
 
-    if spec.use_deform:
-        # jacfwd: primal + 3 tangent passes through the deform MLP.
-        jac = jax.jacfwd(warp_fn)(x)          # [3, 3] = d x_c / d x
-        x_c = warp_fn(x)
-    else:
-        jac = jnp.eye(3, dtype=x.dtype)
-        x_c = x
-
     def sdf_fn(xc):
         return sdf_feat_apply(spec, params, xc[None, :])[0]
 
-    h, sdf_vjp = jax.vjp(sdf_fn, x_c)
-    sdf = h[:1]
-    feat = h[1:]
-    cot = jnp.zeros_like(h).at[0].set(1.0)
-    (grad_c,) = sdf_vjp(cot)                  # [3] canonical normal direction
-    grad_o = jac.T @ grad_c                   # chain rule: observed gradient
+    if not spec.use_deform:
+        x_c = x
+        h, sdf_vjp = jax.vjp(sdf_fn, x_c)
+        sdf, feat = h[:1], h[1:]
+        cot = jnp.zeros_like(h).at[0].set(1.0)
+        (grad_c,) = sdf_vjp(cot)
+        grad_o = grad_c
+        d_c = d
+    elif _DEFORM_JAC_MODE == "linearize":
+        x_c, jvp_fn = jax.linearize(warp_fn, x)
+        h, sdf_vjp = jax.vjp(sdf_fn, x_c)
+        sdf, feat = h[:1], h[1:]
+        cot = jnp.zeros_like(h).at[0].set(1.0)
+        (grad_c,) = sdf_vjp(cot)              # [3] canonical normal
+        (grad_o,) = jax.linear_transpose(jvp_fn, x)(grad_c)  # J^T grad_c
+        d_c = jvp_fn(d)                       # J d
+    else:
+        # jacfwd: primal + 3 tangent passes through the deform MLP.
+        jac = jax.jacfwd(warp_fn)(x)          # [3, 3] = d x_c / d x
+        x_c = warp_fn(x)
+        h, sdf_vjp = jax.vjp(sdf_fn, x_c)
+        sdf, feat = h[:1], h[1:]
+        cot = jnp.zeros_like(h).at[0].set(1.0)
+        (grad_c,) = sdf_vjp(cot)              # [3] canonical normal
+        grad_o = jac.T @ grad_c               # chain rule: observed gradient
+        d_c = jac @ d
 
-    d_c = jac @ d
     d_c = d_c / (jnp.linalg.norm(d_c) + 1e-10)
     color = color_apply(spec, params, x_c[None, :], grad_c[None, :],
                         d_c[None, :], feat[None, :])[0]

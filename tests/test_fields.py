@@ -152,5 +152,42 @@ def test_second_order_differentiable(small_spec, small_params):
     assert total > 0
 
 
+def test_deform_jac_modes_agree(small_spec, small_params):
+    """jacfwd and linearize formulations of the deform-Jacobian products
+    must agree exactly — outputs AND second-order parameter gradients
+    (the training step differentiates through grad_o)."""
+    from endosurf_tpu.models.fields import set_deform_jac_mode
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3),
+                           minval=-0.5, maxval=0.5)
+    d = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    t = jax.random.uniform(jax.random.PRNGKey(3), (16, 1))
+
+    def loss(p):
+        o = fused_point_eval(small_spec, p, x, d, t)
+        return (jnp.mean((jnp.linalg.norm(o["grad_o"], axis=1) - 1.0) ** 2)
+                + jnp.mean(o["color"]) + jnp.mean(o["sdf"]))
+
+    outs, grads = {}, {}
+    try:
+        for mode in ("jacfwd", "linearize"):
+            set_deform_jac_mode(mode)
+            outs[mode] = jax.jit(
+                lambda p: fused_point_eval(small_spec, p, x, d, t))(
+                    small_params)
+            grads[mode] = jax.jit(jax.grad(loss))(small_params)
+    finally:
+        set_deform_jac_mode("jacfwd")
+    for k in ("sdf", "color", "grad_o", "grad_c"):
+        np.testing.assert_allclose(np.asarray(outs["jacfwd"][k]),
+                                   np.asarray(outs["linearize"][k]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads["jacfwd"]),
+                    jax.tree_util.tree_leaves(grads["linearize"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

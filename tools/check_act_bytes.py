@@ -24,7 +24,8 @@ import optax
 
 from endosurf_tpu.data.scene_data import make_synthetic_arrays
 from endosurf_tpu.models.endosurf import RenderSpec
-from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
+from endosurf_tpu.models.fields import (EndoSurfSpec, init_endosurf_params,
+                                        set_deform_jac_mode)
 from endosurf_tpu.ops.mlp import (set_activation_dtype, set_matmul_precision,
                                   set_sampling_precision)
 from endosurf_tpu.train.schedules import warmup_cosine
@@ -45,8 +46,10 @@ key = jax.random.PRNGKey(1)
 set_matmul_precision("default")
 set_sampling_precision("default")
 
-for act in (None, "bfloat16"):
+for act, jac in ((None, "jacfwd"), ("bfloat16", "jacfwd"),
+                 (None, "linearize")):
     set_activation_dtype(act)
+    set_deform_jac_mode(jac)
     step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w, ray_batch,
                               lw, surf_neig_rad=0.1, remat=False)
     lowered = step_fn.lower(params, opt_state, arrays, key, jnp.asarray(5.0))
@@ -54,7 +57,9 @@ for act in (None, "bfloat16"):
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
     print(json.dumps({
-        "activation_dtype": act,
+        "activation_dtype": act, "jac_mode": jac,
         "gflops": round(float(cost.get("flops", 0)) / 1e9, 3),
         "bytes_gb": round(float(cost.get("bytes accessed", 0)) / 1e9, 4),
     }), flush=True)
+set_activation_dtype(None)
+set_deform_jac_mode("jacfwd")

@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--activation-dtype", default=None,
                     choices=[None, "bfloat16", "float32"],
                     help="narrow the field-MLP interior (ops/mlp.py)")
+    ap.add_argument("--jac-mode", default="jacfwd",
+                    choices=["jacfwd", "linearize"],
+                    help="deform-Jacobian formulation (models/fields.py)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +73,8 @@ def main():
                                               _split_rays, error_on_depth,
                                               surface_neighbour_error)
     from endosurf_tpu.models.fields import (EndoSurfSpec, fused_point_eval,
-                                            init_endosurf_params)
+                                            init_endosurf_params,
+                                            set_deform_jac_mode)
     from endosurf_tpu.ops.geometry import ray_sphere_intersection
     from endosurf_tpu.ops.mlp import (set_activation_dtype,
                                       set_matmul_precision,
@@ -82,6 +86,7 @@ def main():
     set_sampling_precision(None if args.sampling_precision == "none"
                            else args.sampling_precision)
     set_activation_dtype(args.activation_dtype)
+    set_deform_jac_mode(args.jac_mode)
 
     scene = make_synthetic_arrays(n_frames=8, h=512, w=640)
     spec, rspec = EndoSurfSpec(), RenderSpec()
@@ -123,6 +128,8 @@ def main():
     print(json.dumps({
         "section": "full_step", "precision": args.precision,
         "sampling_precision": args.sampling_precision,
+        "activation_dtype": args.activation_dtype,
+        "jac_mode": args.jac_mode,
         "step_ms": round(step_s * 1e3, 2),
         "rays_per_sec": round(ray_batch / step_s, 1),
         "xla_logical_gflops_per_step": round(flops / 1e9, 2),
