@@ -50,6 +50,9 @@ run profile_bf16store 2400 python tools/profile_step.py --steps 30 \
   --precision default --sampling-precision default --activation-dtype bfloat16
 run profile_linearize 2400 python tools/profile_step.py --steps 30 \
   --precision default --sampling-precision default --jac-mode linearize
+run profile_lin_bf16 2400 python tools/profile_step.py --steps 30 \
+  --precision default --sampling-precision default --jac-mode linearize \
+  --activation-dtype bfloat16
 run bench 3600 python bench.py
 run demo100k 5400 python -m endosurf_tpu \
   --cfg logs/es100k/validate/endosurf-synthetic-pulsating_sphere/cfg.yml \
