@@ -17,3 +17,21 @@ Design stance (not a port):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the chunked-long-run workflow (CLAUDE.md
+# tunnel-dispatch limit) restarts the process every few thousand steps, and
+# the flagship step otherwise recompiles from scratch each time (~7 min per
+# chunk measured on the tunneled TPU). The cache dir is read lazily at first
+# compilation, so setting it at package import covers every entry point
+# regardless of jax import order. A JAX_COMPILATION_CACHE_DIR env value
+# (including "" to disable) takes precedence.
+import os as _os
+
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/endosurf_tpu_xla"))
+    # Cache even fast-compiling kernels: chunked runs re-pay every one.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
