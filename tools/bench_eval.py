@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Offline-inference (eval/demo render) throughput on the default device.
+
+The training rays/s number (bench.py) is the round headline; this measures
+the serving path: full-frame chunked rendering through the jitted eval
+renderer (render_rays without grads), the workload behind --mode
+test/test_2d/demo. Prints one JSON line per chunk size.
+
+Usage: python tools/bench_eval.py [--chunks 2048 4096 8192] [--frames 4]
+"""
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, nargs="+",
+                    default=[2048, 4096, 8192])
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--precision", default="default")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="cap rays per frame-equivalent (CPU smoke tests)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from endosurf_tpu.data.scene_data import (frame_rays,
+                                              make_synthetic_arrays)
+    from endosurf_tpu.models.endosurf import RenderSpec, render_rays
+    from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
+    from endosurf_tpu.ops.mlp import (set_matmul_precision,
+                                      set_sampling_precision)
+
+    set_matmul_precision(args.precision)
+    set_sampling_precision("default")
+
+    scene = make_synthetic_arrays(n_frames=8, h=512, w=640)
+    spec, rspec = EndoSurfSpec(), RenderSpec()
+    params = init_endosurf_params(jax.random.PRNGKey(0), spec)
+    arrays = scene.device_arrays
+    step_f = jnp.asarray(100000.0)
+
+    @jax.jit
+    def render(params, rays):
+        return render_rays(spec, rspec, params, rays, step_f, key=None)
+
+    all_rays = np.asarray(
+        frame_rays(arrays, scene.h, scene.w, 0)).reshape(-1, 9)
+    if args.limit:
+        all_rays = all_rays[:args.limit]
+
+    for chunk in args.chunks:
+        n = (len(all_rays) // chunk) * chunk
+        rays = jnp.asarray(all_rays[:n]).reshape(-1, chunk, 9)
+        # Warmup/compile, then timed passes over args.frames frame-equivalents.
+        out = render(params, rays[0])
+        float(np.asarray(out["color_map"])[0, 0])
+        t0 = time.perf_counter()
+        done = 0
+        for _ in range(args.frames):
+            for i in range(rays.shape[0]):
+                out = render(params, rays[i])
+                done += chunk
+        float(np.asarray(out["color_map"])[0, 0])  # fence (CLAUDE.md)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "endosurf_eval_rays_per_sec", "ray_chunk": chunk,
+            "value": round(done / dt, 1), "unit": "rays/s",
+            "precision": args.precision,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,7 @@ run profile_lin_bf16 2400 python tools/profile_step.py --steps 30 \
   --precision default --sampling-precision default --jac-mode linearize \
   --activation-dtype bfloat16
 run bench 3600 python bench.py
+run bench_eval 2400 python tools/bench_eval.py
 run demo100k 5400 python -m endosurf_tpu \
   --cfg logs/es100k/validate/endosurf-synthetic-pulsating_sphere/cfg.yml \
   --mode demo
