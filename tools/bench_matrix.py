@@ -18,19 +18,28 @@ import time
 import numpy as np
 
 
-def bench_variant(precision: str, remat: bool, n_steps: int = 30):
+def bench_variant(precision: str, remat: bool, n_steps: int = 30,
+                  sampling: str = "default", act_dtype=None,
+                  jac_mode: str = "jacfwd"):
     import jax
     import jax.numpy as jnp
     import optax
 
     from endosurf_tpu.data.scene_data import make_synthetic_arrays as _synthetic_arrays
     from endosurf_tpu.models.endosurf import RenderSpec
-    from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
-    from endosurf_tpu.ops.mlp import set_matmul_precision
+    from endosurf_tpu.models.fields import (EndoSurfSpec,
+                                            init_endosurf_params,
+                                            set_deform_jac_mode)
+    from endosurf_tpu.ops.mlp import (set_activation_dtype,
+                                      set_matmul_precision,
+                                      set_sampling_precision)
     from endosurf_tpu.train.schedules import warmup_cosine
     from endosurf_tpu.train.trainer_endosurf import make_train_step
 
     set_matmul_precision(precision)
+    set_sampling_precision(sampling)
+    set_activation_dtype(act_dtype)
+    set_deform_jac_mode(jac_mode)
     scene = _synthetic_arrays(n_frames=8, h=512, w=640)
     spec, rspec = EndoSurfSpec(), RenderSpec()
     ray_batch = 1024
@@ -62,6 +71,7 @@ def bench_variant(precision: str, remat: bool, n_steps: int = 30):
     dt = time.perf_counter() - t0
     return {
         "precision": precision, "remat": remat,
+        "sampling": sampling, "act_dtype": act_dtype, "jac_mode": jac_mode,
         "rays_per_sec": round(n_steps * ray_batch / dt, 1),
         "step_ms": round(dt / n_steps * 1000, 2),
         "compile_s": round(compile_s, 1),
@@ -70,17 +80,30 @@ def bench_variant(precision: str, remat: bool, n_steps: int = 30):
     }
 
 
+VARIANTS = [
+    # (precision, remat, sampling, act_dtype, jac_mode)
+    ("highest", True, "default", None, "jacfwd"),
+    ("highest", False, "default", None, "jacfwd"),
+    ("default", True, "default", None, "jacfwd"),
+    ("default", False, "default", None, "jacfwd"),
+    ("default", False, "default", None, "linearize"),
+    ("default", False, "default", "bfloat16", "jacfwd"),
+    ("default", False, "default", "bfloat16", "linearize"),
+]
+
+
 def main():
     results = []
-    for precision in ("highest", "default"):
-        for remat in (True, False):
-            try:
-                r = bench_variant(precision, remat)
-            except Exception as e:  # e.g. OOM without remat
-                r = {"precision": precision, "remat": remat,
-                     "error": repr(e)[:200]}
-            results.append(r)
-            print(json.dumps(r), flush=True)
+    for precision, remat, sampling, act, jac in VARIANTS:
+        try:
+            r = bench_variant(precision, remat, sampling=sampling,
+                              act_dtype=act, jac_mode=jac)
+        except Exception as e:  # e.g. OOM without remat
+            r = {"precision": precision, "remat": remat,
+                 "act_dtype": act, "jac_mode": jac,
+                 "error": repr(e)[:200]}
+        results.append(r)
+        print(json.dumps(r), flush=True)
     best = max((r for r in results if "rays_per_sec" in r),
                key=lambda r: r["rays_per_sec"])
     print("# best:", json.dumps(best), file=sys.stderr)

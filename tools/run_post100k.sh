@@ -60,6 +60,7 @@ run demo100k 5400 python -m endosurf_tpu \
   --mode demo
 run quality_bf16store 5400 python tools/quality_precision.py --steps 2000 \
   --orbit 30 --modes default:default:bfloat16
+run bench_matrix 5400 python tools/bench_matrix.py
 for i in $(seq 1 8); do
   if grep -q '"model": "endonerf", "status": "done"' "$LOG" 2>/dev/null; then break; fi
   run en8k_chunk$i 2400 python tools/validate_synthetic.py \
