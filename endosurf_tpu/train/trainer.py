@@ -93,6 +93,20 @@ class Trainer:
     def train_step(self, step: int) -> Dict[str, float]:
         raise NotImplementedError
 
+    def train_step_window(self, step: int, kk: int) -> Dict[str, float]:
+        """Run steps [step, step+kk-1]; return the last step's metrics.
+
+        Base fallback is a per-step loop; subclasses override with a
+        single multi-step device dispatch (train.steps_per_call)."""
+        metrics: Dict[str, float] = {}
+        for s in range(step, step + kk):
+            metrics = self.train_step(s)
+        return metrics
+
+    def window_boundaries(self):
+        """Steps that must START a dispatch window (subclass hook)."""
+        return ()
+
     def eval(self, step: int) -> Dict[str, float]:
         raise NotImplementedError
 
@@ -117,56 +131,97 @@ class Trainer:
         prof_stop = prof_cfg.get("stop", 0)
         end = self.n_iter if stop_after is None else min(stop_after,
                                                          self.n_iter)
+        # Dispatch-window size (train.steps_per_call): K optimizer steps per
+        # device call via lax.scan in the subclass step. On a high-latency
+        # link (the tunneled TPU) this amortizes the per-dispatch round trip
+        # K-fold. Cadence semantics at K>1: evals whose step falls INSIDE a
+        # window fire at the window start (<=K-1 steps early); logs/saves
+        # fire at the window's last step. With the usual cadences (500/2500/
+        # 20000) divisible by K, every boundary lands exactly.
+        K = max(1, int(self.train_cfg.get("steps_per_call", 1)))
+
+        def in_window(cadence, a, b):
+            """Is some multiple of `cadence` within [a, b]?"""
+            return cadence > 0 and (b // cadence) > ((a - 1) // cadence)
+
         try:
-            from tqdm import trange
-            step_iter = trange(self.step_start, end + 1,
-                               desc="TRAIN", leave=True)
+            from tqdm import tqdm
+            pbar = tqdm(total=end - self.step_start + 1, desc="TRAIN",
+                        leave=True)
         except ImportError:
-            step_iter = range(self.step_start, end + 1)
-        for step in step_iter:
-            if prof_start and step == prof_start:
+            pbar = None
+        step = self.step_start
+        while step <= end:
+            kk = min(K, end - step + 1)
+            # Never cross a subclass boundary (e.g. important_begin_iter
+            # flips the compiled step) mid-window.
+            for bnd in self.window_boundaries():
+                if step < bnd <= step + kk - 1:
+                    kk = bnd - step
+            s_last = step + kk - 1
+
+            if prof_start and step <= prof_start <= s_last:
                 import jax
                 jax.profiler.start_trace(osp.join(self.exp_dir, "profile"))
-            if prof_stop and step == prof_stop:
+            if self.i_eval > 0:
+                eval_steps = [1] if step == 1 else []
+                if in_window(self.i_eval, step, s_last):
+                    first = ((step - 1) // self.i_eval + 1) * self.i_eval
+                    eval_steps += [s for s in
+                                   range(first, s_last + 1, self.i_eval)
+                                   if s not in eval_steps]
+                if (step <= self.n_iter <= s_last
+                        and self.n_iter not in eval_steps):
+                    eval_steps.append(self.n_iter)
+                for s in eval_steps:
+                    # At K>1 this fires <=K-1 steps earlier than the
+                    # reference's eval-before-step-s; labels keep s.
+                    self.eval(s)
+
+            metrics = self.train_step_window(step, kk)
+            rays_done += ray_batch * kk
+
+            if prof_stop and step <= prof_stop <= s_last:
                 import jax
                 jax.profiler.stop_trace()
-            if self.i_eval > 0 and (step == 1 or step % self.i_eval == 0
-                                    or step == self.n_iter):
-                self.eval(step)
 
-            metrics = self.train_step(step)
-            rays_done += ray_batch
-
-            if self.writer is not None and (step % log_every == 0
-                                            or step == 1):
+            if self.writer is not None and (step == 1
+                                            or in_window(log_every, step,
+                                                         s_last)):
                 # Metrics are device arrays; materialize them only at log
                 # points — a per-step host fetch would serialize the input
                 # pipeline against device round-trips.
                 metrics = {k: float(np.asarray(v))
                            for k, v in metrics.items()}
-                if hasattr(step_iter, "set_description"):
-                    step_iter.set_description(
+                if pbar is not None:
+                    pbar.set_description(
                         f"TRAIN|loss:{metrics.get('loss_total', 0.0):.5g}|")
-                self.writer.add_scalars("train", metrics, step)
+                self.writer.add_scalars("train", metrics, s_last)
                 if hasattr(self, "lr_schedule"):
                     # Reference logs the LR per step (trainer_endosurf.py:203).
                     self.writer.add_scalar(
                         "train/lr", float(np.asarray(
-                            self.lr_schedule(step - 1))), step)
+                            self.lr_schedule(s_last - 1))), s_last)
                 dt = time.time() - t0
                 self.writer.add_scalar("perf/rays_per_sec", rays_done / dt,
-                                       step)
-                if step % (log_every * 10) == 0:
-                    print(f"TRAIN|iter:{step}/{self.n_iter}"
+                                       s_last)
+                if in_window(log_every * 10, step, s_last):
+                    print(f"TRAIN|iter:{s_last}/{self.n_iter}"
                           f"|loss:{metrics.get('loss_total', float('nan')):.5g}"
                           f"|rays/s:{rays_done / dt:,.0f}", flush=True)
 
-            if self.i_save > 0 and (step % self.i_save == 0
-                                    or step == self.n_iter or step == end):
+            if self.i_save > 0 and (in_window(self.i_save, step, s_last)
+                                    or s_last in (self.n_iter, end)):
                 params, opt_state = self.checkpoint_state()
-                path = save_checkpoint(self.exp_dir, step, params, opt_state)
-                print(f"SAVE|iter:{step}/{self.n_iter}|path:{path}",
+                path = save_checkpoint(self.exp_dir, s_last, params,
+                                       opt_state)
+                print(f"SAVE|iter:{s_last}/{self.n_iter}|path:{path}",
                       flush=True)
+            if pbar is not None:
+                pbar.update(kk)
+            step = s_last + 1
+        if pbar is not None:
+            pbar.close()
         self.step_start = end + 1
         if self.writer is not None:
             self.writer.flush()

@@ -30,7 +30,8 @@ from endosurf_tpu.train.trainer import Trainer
 def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
                     tx: optax.GradientTransformation, h: int, w: int,
                     ray_batch: int, loss_weights: Dict[str, float],
-                    mask_guided: bool = True, mesh=None):
+                    mask_guided: bool = True, mesh=None,
+                    steps_per_call: int = 1):
     def loss_fn(params, batch, key):
         rays = batch["rays"]
         if rspec.use_depth_sampling:
@@ -43,8 +44,7 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
         out = render_rays(spec, rspec, params, rays, key=key)
         return endonerf_loss_terms(out, batch, loss_weights)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, arrays, key, step_f):
+    def one_step(params, opt_state, arrays, key, step_f):
         del step_f  # the DNeRF objective has no step-dependent annealing
         k_batch, k_loss = jax.random.split(key)
         batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
@@ -55,10 +55,28 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, k_loss)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        return optax.apply_updates(params, updates), opt_state, metrics
 
-    return train_step
+    if steps_per_call == 1:
+        return jax.jit(one_step, donate_argnums=(0, 1))
+
+    # K steps per dispatch (see trainer_endosurf.make_train_step docstring).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_window(params, opt_state, arrays, key, step_f):
+        def body(carry, i):
+            params, opt_state, key = carry
+            key, k = jax.random.split(key)
+            params, opt_state, metrics = one_step(
+                params, opt_state, arrays, k, step_f + i)
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            body, (params, opt_state, key),
+            jnp.arange(steps_per_call, dtype=jnp.float32))
+        last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+        return params, opt_state, last
+
+    return train_window
 
 
 class EndoNeRFTrainer(Trainer):
@@ -101,11 +119,17 @@ class EndoNeRFTrainer(Trainer):
         if par_cfg.get("data_parallel", False):
             from endosurf_tpu.parallel.mesh import make_mesh
             self.mesh = make_mesh(par_cfg.get("n_devices"))
-        self._step_fn = make_train_step(
-            self.spec, self.rspec, self.tx, self.scene.h, self.scene.w,
-            self.train_cfg.get("ray_batch", 2048), self.loss_weights,
-            mask_guided=self.train_cfg.get("mask_guided_ray_sampling", True),
-            mesh=self.mesh)
+        self._step_fns: Dict[int, Any] = {}
+
+    def _get_step_fn(self, steps_per_call: int = 1):
+        if steps_per_call not in self._step_fns:
+            self._step_fns[steps_per_call] = make_train_step(
+                self.spec, self.rspec, self.tx, self.scene.h, self.scene.w,
+                self.train_cfg.get("ray_batch", 2048), self.loss_weights,
+                mask_guided=self.train_cfg.get("mask_guided_ray_sampling",
+                                               True),
+                mesh=self.mesh, steps_per_call=steps_per_call)
+        return self._step_fns[steps_per_call]
 
     def opt_state_template(self):
         return self.opt_state
@@ -119,8 +143,12 @@ class EndoNeRFTrainer(Trainer):
         return self.params, self.opt_state
 
     def train_step(self, step: int) -> Dict[str, float]:
+        return self.train_step_window(step, 1)
+
+    def train_step_window(self, step: int, kk: int) -> Dict[str, float]:
+        """kk optimizer steps in one device dispatch (train.steps_per_call)."""
         self.key, k = jax.random.split(self.key)
-        self.params, self.opt_state, metrics = self._step_fn(
+        self.params, self.opt_state, metrics = self._get_step_fn(kk)(
             self.params, self.opt_state, self.scene.device_arrays, k,
             jnp.asarray(float(step)))
         return metrics  # device arrays; the loop materializes at log points

@@ -40,7 +40,7 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
                     ray_batch: int, loss_weights: Dict[str, float],
                     surf_neig_rad: float, mask_guided: bool = True,
                     use_importance: bool = True, remat: bool = True,
-                    mesh=None):
+                    mesh=None, steps_per_call: int = 1):
     """Build the jitted training step.
 
     Terms with zero weight are compiled out entirely (the reference computes
@@ -50,6 +50,16 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
     With ``mesh`` (a 1-D ("data",) jax.sharding.Mesh) the sampled ray batch is
     sharded across chips; the global masked-sum losses make XLA emit the psum
     gradient reduction automatically.
+
+    With ``steps_per_call`` > 1 the returned function runs that many
+    optimizer steps inside ONE device dispatch (lax.scan over the
+    params/opt_state carry; per-step PRNG splits and step numbers advance
+    inside the scan, so it is step-for-step identical to calling the K=1
+    version K times). This is the dispatch-latency amortizer: per-step host
+    work and device round-trips shrink by K — on a contended/tunneled TPU
+    the wall-clock win is several-fold. The returned metrics are those of
+    the window's LAST step, matching what a per-step loop would log at the
+    same step when logging cadences divide steps_per_call.
     """
 
     def loss_fn(params, batch, step_f, key):
@@ -79,8 +89,7 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
             loss_weights)
         return total, metrics
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, arrays, key, step_f):
+    def one_step(params, opt_state, arrays, key, step_f):
         k_batch, k_loss = jax.random.split(key)
         batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
                                    mask_guided=mask_guided)
@@ -93,7 +102,25 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    return train_step
+    if steps_per_call == 1:
+        return jax.jit(one_step, donate_argnums=(0, 1))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_window(params, opt_state, arrays, key, step_f):
+        def body(carry, i):
+            params, opt_state, key = carry
+            key, k = jax.random.split(key)
+            params, opt_state, metrics = one_step(
+                params, opt_state, arrays, k, step_f + i)
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            body, (params, opt_state, key),
+            jnp.arange(steps_per_call, dtype=jnp.float32))
+        last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+        return params, opt_state, last
+
+    return train_window
 
 
 class EndoSurfTrainer(Trainer):
@@ -147,19 +174,20 @@ class EndoSurfTrainer(Trainer):
         if par_cfg.get("data_parallel", False):
             from endosurf_tpu.parallel.mesh import make_mesh
             self.mesh = make_mesh(par_cfg.get("n_devices"))
-        self._step_fns: Dict[bool, Any] = {}
+        self._step_fns: Dict[Any, Any] = {}
 
-    def _get_step_fn(self, use_importance: bool):
-        if use_importance not in self._step_fns:
-            self._step_fns[use_importance] = make_train_step(
+    def _get_step_fn(self, use_importance: bool, steps_per_call: int = 1):
+        cache_key = (use_importance, steps_per_call)
+        if cache_key not in self._step_fns:
+            self._step_fns[cache_key] = make_train_step(
                 self.spec, self.rspec, self.tx, self.scene.h, self.scene.w,
                 self.train_cfg.get("ray_batch", 1024), self.loss_weights,
                 self.train_cfg.get("surf_neig_rad", 0.1),
                 mask_guided=self.train_cfg.get("mask_guided_ray_sampling",
                                                True),
                 use_importance=use_importance, remat=self.remat,
-                mesh=self.mesh)
-        return self._step_fns[use_importance]
+                mesh=self.mesh, steps_per_call=steps_per_call)
+        return self._step_fns[cache_key]
 
     def opt_state_template(self):
         return self.opt_state
@@ -173,14 +201,22 @@ class EndoSurfTrainer(Trainer):
         return self.params, self.opt_state
 
     def train_step(self, step: int) -> Dict[str, float]:
+        return self.train_step_window(step, 1)
+
+    def train_step_window(self, step: int, kk: int) -> Dict[str, float]:
+        """kk optimizer steps in one device dispatch (train.steps_per_call)."""
         use_importance = (self.rspec.n_importance > 0
                           and step >= self.rspec.important_begin_iter)
-        fn = self._get_step_fn(use_importance)
+        fn = self._get_step_fn(use_importance, kk)
         self.key, k = jax.random.split(self.key)
         self.params, self.opt_state, metrics = fn(
             self.params, self.opt_state, self.scene.device_arrays, k,
             jnp.asarray(float(step)))
         return metrics  # device arrays; the loop materializes at log points
+
+    def window_boundaries(self):
+        # The compiled step changes shape when importance sampling begins.
+        return (self.rspec.important_begin_iter,)
 
     def eval(self, step: int) -> Dict[str, float]:
         from endosurf_tpu.evaluation.render_eval import eval_frames

@@ -125,6 +125,85 @@ def test_loss_decreases(tmp_path, scene):
     assert last < 0.8 * first, (first, last)
 
 
+def test_steps_per_call_window_matches_sequential(scene):
+    """K steps scanned inside one dispatch must equal K sequential calls of
+    the K=1 step bit-for-bit given the same key-derivation chain."""
+    import jax.numpy as jnp
+    import optax
+
+    from endosurf_tpu.models.endosurf import RenderSpec
+    from endosurf_tpu.models.fields import (EndoSurfSpec, MLPSpec,
+                                            init_endosurf_params)
+    from endosurf_tpu.train.schedules import warmup_cosine
+    from endosurf_tpu.train.trainer_endosurf import make_train_step
+
+    spec = EndoSurfSpec(
+        deform_pos_freqs=2, deform_time_freqs=2, sdf_pos_freqs=2,
+        color_pos_freqs=2, color_dir_freqs=2,
+        deform=MLPSpec(2, 32, (), 3), sdf=MLPSpec(2, 32, (), 17),
+        color=MLPSpec(2, 32, (), 3), color_feat_dim=16)
+    rspec = RenderSpec(n_samples=4, n_importance=4, up_sample_steps=2,
+                       anneal_end=10.0)
+    tx = optax.adam(warmup_cosine(5e-4, 5, 100, 0.05))
+    lw = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0,
+          "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
+          "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1}
+    arrays = scene.device_arrays
+    args = (spec, rspec, tx, scene.h, scene.w, 16, lw)
+    K = 3
+
+    def init():
+        p = init_endosurf_params(jax.random.PRNGKey(0), spec)
+        return p, tx.init(p)
+
+    # Sequential K=1 calls with the window's exact key chain.
+    fn1 = make_train_step(*args, surf_neig_rad=0.1)
+    p1, o1 = init()
+    key = jax.random.PRNGKey(7)
+    for i in range(K):
+        key, k = jax.random.split(key)
+        p1, o1, m1 = fn1(p1, o1, arrays, k, jnp.asarray(float(1 + i)))
+
+    fnK = make_train_step(*args, surf_neig_rad=0.1, steps_per_call=K)
+    pK, oK = init()
+    pK, oK, mK = fnK(pK, oK, arrays, jax.random.PRNGKey(7),
+                     jnp.asarray(1.0))
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(pK)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(np.asarray(m1["loss_total"])),
+                               float(np.asarray(mK["loss_total"])),
+                               rtol=1e-6)
+
+
+def test_steps_per_call_trainer_loop(tmp_path, scene):
+    """Trainer loop at steps_per_call=3: cadences land, tail windows work,
+    resume sees the right step."""
+    import glob
+    import os.path as osp
+
+    cfg = tiny_cfg(str(tmp_path), n_iter=6)
+    cfg["train"]["steps_per_call"] = 3
+    cfg["log"] = {"i_eval": 6, "i_save": 3}
+    tr = EndoSurfTrainer(cfg, mode="train", scene=scene)
+    tr.start(log_every=3, stop_after=4)   # windows [1-3], [4] (tail)
+    assert tr.step_start == 5
+    tr.start(log_every=3)                 # windows [5-6] -> tail size 2
+    assert tr.step_start == 7
+    assert osp.exists(osp.join(tr.exp_dir, "ckpt"))
+    # eval fired for the n_iter boundary (label 6).
+    assert glob.glob(osp.join(tr.exp_dir, "eval", "iter_00000006",
+                              "stats_out.txt"))
+
+    cfg2 = tiny_cfg(str(tmp_path), n_iter=6)
+    cfg2["train"]["steps_per_call"] = 3
+    cfg2["train"]["resume"] = True
+    tr2 = EndoSurfTrainer(cfg2, mode="train", scene=scene)
+    assert tr2.step_start == 7  # checkpoint saved at the true last step
+
+
 def test_bf16_activation_storage_trains(tmp_path, scene):
     """activation_dtype=bfloat16 (narrow MLP interior): the full six-loss
     step stays finite, params move, and the global knob is restored."""

@@ -79,6 +79,10 @@ def main():
                       "resume": True, "matmul_precision": args.precision,
                       "sampling_precision": args.sampling_precision,
                       "remat": False,
+                      # 5 optimizer steps per device dispatch: amortizes the
+                      # tunnel's dispatch latency (bit-equivalent to K=1;
+                      # tests/test_train_smoke.py).
+                      "steps_per_call": 5,
                       "optim": {"lr": 5e-4, "lr_alpha": 0.05,
                                 "warm_up_end": max(1, steps // 20)},
                       "eval": {"ray_chunk": 4096}},
@@ -106,6 +110,7 @@ def main():
                       "color_loss_weight": 1.0, "depth_loss_weight": 1.0,
                       "resume": True, "matmul_precision": args.precision,
                       "sampling_precision": args.sampling_precision,
+                      "steps_per_call": 5,
                       "optim": {"lr": 5e-4, "lr_decay": 250},
                       "eval": {"ray_batch": 4096}},
             "net": {"use_deform": True, "raw_noise_std": 1.0},
