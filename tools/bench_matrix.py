@@ -20,7 +20,7 @@ import numpy as np
 
 def bench_variant(precision: str, remat: bool, n_steps: int = 30,
                   sampling: str = "default", act_dtype=None,
-                  jac_mode: str = "jacfwd"):
+                  jac_mode: str = "jacfwd", steps_per_call: int = 1):
     import jax
     import jax.numpy as jnp
     import optax
@@ -48,7 +48,8 @@ def bench_variant(precision: str, remat: bool, n_steps: int = 30,
           "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
           "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1}
     step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w, ray_batch,
-                              lw, surf_neig_rad=0.1, remat=remat)
+                              lw, surf_neig_rad=0.1, remat=remat,
+                              steps_per_call=steps_per_call)
     params = init_endosurf_params(jax.random.PRNGKey(0), spec)
     opt_state = tx.init(params)
     arrays = scene.device_arrays
@@ -69,11 +70,13 @@ def bench_variant(precision: str, remat: bool, n_steps: int = 30,
                                              jnp.asarray(float(i + 4)))
     loss = float(np.asarray(metrics["loss_total"]))  # fence
     dt = time.perf_counter() - t0
+    total_steps = n_steps * steps_per_call
     return {
         "precision": precision, "remat": remat,
         "sampling": sampling, "act_dtype": act_dtype, "jac_mode": jac_mode,
-        "rays_per_sec": round(n_steps * ray_batch / dt, 1),
-        "step_ms": round(dt / n_steps * 1000, 2),
+        "steps_per_call": steps_per_call,
+        "rays_per_sec": round(total_steps * ray_batch / dt, 1),
+        "step_ms": round(dt / total_steps * 1000, 2),
         "compile_s": round(compile_s, 1),
         "loss_finite": bool(np.isfinite(loss)),
         "loss": round(loss, 4),
@@ -81,26 +84,28 @@ def bench_variant(precision: str, remat: bool, n_steps: int = 30,
 
 
 VARIANTS = [
-    # (precision, remat, sampling, act_dtype, jac_mode)
-    ("highest", True, "default", None, "jacfwd"),
-    ("highest", False, "default", None, "jacfwd"),
-    ("default", True, "default", None, "jacfwd"),
-    ("default", False, "default", None, "jacfwd"),
-    ("default", False, "default", None, "linearize"),
-    ("default", False, "default", "bfloat16", "jacfwd"),
-    ("default", False, "default", "bfloat16", "linearize"),
+    # (precision, remat, sampling, act_dtype, jac_mode, steps_per_call)
+    ("highest", True, "default", None, "jacfwd", 1),
+    ("highest", False, "default", None, "jacfwd", 1),
+    ("default", True, "default", None, "jacfwd", 1),
+    ("default", False, "default", None, "jacfwd", 1),
+    ("default", False, "default", None, "linearize", 1),
+    ("default", False, "default", "bfloat16", "jacfwd", 1),
+    ("default", False, "default", "bfloat16", "linearize", 1),
+    ("default", False, "default", None, "jacfwd", 5),
 ]
 
 
 def main():
     results = []
-    for precision, remat, sampling, act, jac in VARIANTS:
+    for precision, remat, sampling, act, jac, spc in VARIANTS:
         try:
             r = bench_variant(precision, remat, sampling=sampling,
-                              act_dtype=act, jac_mode=jac)
+                              act_dtype=act, jac_mode=jac,
+                              steps_per_call=spc)
         except Exception as e:  # e.g. OOM without remat
             r = {"precision": precision, "remat": remat,
-                 "act_dtype": act, "jac_mode": jac,
+                 "act_dtype": act, "jac_mode": jac, "steps_per_call": spc,
                  "error": repr(e)[:200]}
         results.append(r)
         print(json.dumps(r), flush=True)
