@@ -31,9 +31,9 @@ for i in $(seq 1 120); do
     continue
   fi
   echo "=== chunk invocation $i $(date) ===" >> "$LOG"
-  timeout 3600 python tools/validate_synthetic.py \
+  timeout 5400 python tools/validate_synthetic.py \
     --steps 100000 --orbit 30 --frames 16 --mc-res 96 \
-    --exp-dir "$EXP" --chunk 10000 --i-eval 20000 \
+    --exp-dir "$EXP" --chunk 20000 --i-eval 20000 \
     --precision default --sampling-precision default >> "$LOG" 2>&1
   rc=$?
   if [ $rc -ne 0 ]; then
