@@ -61,11 +61,11 @@ run demo100k 5400 python -m endosurf_tpu \
 run quality_bf16store 5400 python tools/quality_precision.py --steps 2000 \
   --orbit 30 --modes default:default:bfloat16
 run bench_matrix 5400 python tools/bench_matrix.py
-for i in $(seq 1 8); do
+for i in $(seq 1 4); do
   if grep -q '"model": "endonerf", "status": "done"' "$LOG" 2>/dev/null; then break; fi
-  run en8k_chunk$i 2400 python tools/validate_synthetic.py \
+  run en8k_try$i 5400 python tools/validate_synthetic.py \
     --steps 8000 --orbit 30 --frames 16 --mc-res 96 --model endonerf \
-    --exp-dir /root/repo/logs/en_orbit8k --chunk 2500 --precision high
+    --exp-dir /root/repo/logs/en_orbit8k --precision high
 done
 echo "=== post100k queue done $(date) ===" >> "$LOG"
 touch logs/post100k_done.marker
