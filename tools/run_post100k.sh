@@ -44,23 +44,15 @@ run() {  # run <tag> <timeout_s> <cmd...>
   echo "=== $tag rc=$? $(date) ===" >> "$LOG"
 }
 
-run profile_f32store 2400 python tools/profile_step.py --steps 30 \
-  --precision default --sampling-precision default
-run profile_bf16store 2400 python tools/profile_step.py --steps 30 \
-  --precision default --sampling-precision default --activation-dtype bfloat16
-run profile_linearize 2400 python tools/profile_step.py --steps 30 \
-  --precision default --sampling-precision default --jac-mode linearize
-run profile_lin_bf16 2400 python tools/profile_step.py --steps 30 \
-  --precision default --sampling-precision default --jac-mode linearize \
-  --activation-dtype bfloat16
-run bench 3600 python bench.py
-run bench_eval 2400 python tools/bench_eval.py
+run bench_matrix 5400 python tools/bench_matrix.py
 run demo100k 5400 python -m endosurf_tpu \
   --cfg logs/es100k/validate/endosurf-synthetic-pulsating_sphere/cfg.yml \
   --mode demo
+run profile_modes 5400 python tools/profile_modes.py --steps 30
+run bench 3600 python bench.py
+run bench_eval 2400 python tools/bench_eval.py
 run quality_bf16store 5400 python tools/quality_precision.py --steps 2000 \
   --orbit 30 --modes default:default:bfloat16
-run bench_matrix 5400 python tools/bench_matrix.py
 for i in $(seq 1 4); do
   if grep -q '"model": "endonerf", "status": "done"' "$LOG" 2>/dev/null; then break; fi
   run en8k_try$i 5400 python tools/validate_synthetic.py \
