@@ -55,11 +55,18 @@ def main():
     from endosurf_tpu.train.schedules import warmup_cosine
     from endosurf_tpu.train.trainer_endosurf import make_train_step
 
-    from endosurf_tpu.ops.mlp import (set_matmul_precision,
+    from endosurf_tpu.models.fields import set_deform_jac_mode
+    from endosurf_tpu.ops.mlp import (set_activation_dtype,
+                                      set_matmul_precision,
                                       set_sampling_precision)
-    set_matmul_precision("default")    # shipping default: bf16 MXU passes —
-    # quality-neutral vs bf16x3 at 8k-step multi-view horizons (VALIDATION.md)
-    set_sampling_precision("default")  # bf16 stop-gradient sampling paths
+    # Shipping defaults (trainer_endosurf.setup mirrors these; measured in
+    # VALIDATION.md's mode matrix + quality gates): bf16 MXU passes, bf16
+    # MLP-interior storage, bf16 stop-gradient sampling paths, linearize
+    # deform-Jacobian products.
+    set_matmul_precision("default")
+    set_activation_dtype("bfloat16")
+    set_sampling_precision("default")
+    set_deform_jac_mode("linearize")
 
     scene = _synthetic_arrays(n_frames=8, h=512, w=640)
 

@@ -95,7 +95,12 @@ class EndoNeRFTrainer(Trainer):
             self.train_cfg.get("matmul_precision", "default"))
         set_sampling_precision(
             self.train_cfg.get("sampling_precision", "default"))
-        set_activation_dtype(self.train_cfg.get("activation_dtype"))
+        # bf16 MLP interior ships with the bf16 matmul mode (see the
+        # EndoSurf trainer note + VALIDATION.md mode matrix).
+        precision = self.train_cfg.get("matmul_precision", "default")
+        set_activation_dtype(self.train_cfg.get(
+            "activation_dtype",
+            "bfloat16" if precision == "default" else None))
 
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)

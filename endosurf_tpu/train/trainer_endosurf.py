@@ -148,9 +148,22 @@ class EndoSurfTrainer(Trainer):
         # bf16 there is quality-neutral (tools/quality_precision.py).
         set_sampling_precision(
             self.train_cfg.get("sampling_precision", "default"))
-        # Opt-in bf16 activation storage (halves the HBM-bound fwd+bwd
-        # traffic; quality implications measured in VALIDATION.md).
-        set_activation_dtype(self.train_cfg.get("activation_dtype"))
+        # bf16 MLP-interior storage ships with the bf16 ("default") matmul
+        # mode: +29% step rate (HBM-bound fwd+bwd, VALIDATION.md mode
+        # matrix) at quality parity on the 2k-step orbit gate. Strict-parity
+        # precisions keep the f32 interior unless explicitly overridden.
+        precision = self.train_cfg.get("matmul_precision", "default")
+        act_default = "bfloat16" if precision == "default" else None
+        set_activation_dtype(
+            self.train_cfg.get("activation_dtype", act_default))
+        # The linearize deform-Jacobian formulation wins only in the bf16-
+        # interior regime (loses 9% at f32 storage — VALIDATION.md); couple
+        # the default to the storage mode. Exact same math either way.
+        from endosurf_tpu.models.fields import set_deform_jac_mode
+        jac_default = ("linearize"
+                       if self.train_cfg.get("activation_dtype", act_default)
+                       == "bfloat16" else "jacfwd")
+        set_deform_jac_mode(self.train_cfg.get("jac_mode", jac_default))
         self.remat = bool(self.train_cfg.get("remat", False))
 
         seed = cfg.get("exp", {}).get("seed", 0)

@@ -25,3 +25,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_execution_knobs():
+    """Trainer setup flips module-global execution knobs (matmul precision,
+    interior storage dtype, jac mode); restore them around every test so
+    numerics/parity tests are insulated from trainer tests' side effects."""
+    import endosurf_tpu.models.fields as fields
+    import endosurf_tpu.ops.mlp as mlp
+
+    saved = (mlp._MATMUL_PRECISION, mlp._SAMPLING_PRECISION,
+             mlp._ACTIVATION_DTYPE, fields._DEFORM_JAC_MODE)
+    yield
+    (mlp._MATMUL_PRECISION, mlp._SAMPLING_PRECISION,
+     mlp._ACTIVATION_DTYPE, fields._DEFORM_JAC_MODE) = saved

@@ -204,6 +204,25 @@ def test_steps_per_call_trainer_loop(tmp_path, scene):
     assert tr2.step_start == 7  # checkpoint saved at the true last step
 
 
+def test_precision_coupled_defaults(tmp_path, scene):
+    """Shipping coupling: bf16 matmuls -> bf16 interior + linearize;
+    strict-parity "highest" keeps the f32 interior + jacfwd."""
+    import endosurf_tpu.models.fields as fields
+    import endosurf_tpu.ops.mlp as mlp
+
+    cfg = tiny_cfg(str(tmp_path / "a"), n_iter=2)
+    EndoSurfTrainer(cfg, mode="train", scene=scene)
+    assert mlp._ACTIVATION_DTYPE is not None
+    assert fields._DEFORM_JAC_MODE == "linearize"
+
+    cfg = tiny_cfg(str(tmp_path / "b"), n_iter=2)
+    cfg["train"]["matmul_precision"] = "highest"
+    EndoSurfTrainer(cfg, mode="train", scene=scene)
+    assert mlp._ACTIVATION_DTYPE is None
+    assert fields._DEFORM_JAC_MODE == "jacfwd"
+    # (the autouse conftest fixture restores the globals)
+
+
 def test_bf16_activation_storage_trains(tmp_path, scene):
     """activation_dtype=bfloat16 (narrow MLP interior): the full six-loss
     step stays finite, params move, and the global knob is restored."""
