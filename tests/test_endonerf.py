@@ -186,5 +186,55 @@ def test_endonerf_trainer_smoke(tmp_path, tmp_path_factory):
     assert "psnr_rgb_vr" in stats and np.isfinite(stats["psnr_rgb_vr"])
 
 
+def test_endonerf_steps_per_call_matches_sequential(tmp_path_factory):
+    """The EndoNeRF K-step scan window must equal K sequential K=1 calls
+    bit-for-bit given the same key-derivation chain (mirror of the
+    EndoSurf test in test_train_smoke.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from endosurf_tpu.models.endonerf import (DNeRFRenderSpec, DNeRFSpec,
+                                              init_dnerf_params)
+    from endosurf_tpu.train.schedules import exponential
+    from endosurf_tpu.train.trainer_endonerf import make_train_step
+
+    d = tmp_path_factory.mktemp("nerfscene_spc")
+    pkl = make_synthetic_scene(str(d), n_frames=3, h=16, w=16)
+    scene = SceneData.load(pkl)
+    cfg = tiny_nerf_cfg(str(d))
+    spec = DNeRFSpec.from_config(cfg["net"])
+    rspec = DNeRFRenderSpec.from_config(cfg["render"])
+    tx = optax.adam(exponential(5e-4, 250))
+    lw = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0}
+    arrays = scene.device_arrays
+    args = (spec, rspec, tx, scene.h, scene.w, 16, lw)
+    K = 3
+
+    def init():
+        p = init_dnerf_params(jax.random.PRNGKey(0), spec)
+        return p, tx.init(p)
+
+    fn1 = make_train_step(*args)
+    p1, o1 = init()
+    key = jax.random.PRNGKey(7)
+    for i in range(K):
+        key, k = jax.random.split(key)
+        p1, o1, m1 = fn1(p1, o1, arrays, k, jnp.asarray(float(1 + i)))
+
+    fnK = make_train_step(*args, steps_per_call=K)
+    pK, oK = init()
+    pK, oK, mK = fnK(pK, oK, arrays, jax.random.PRNGKey(7),
+                     jnp.asarray(1.0))
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(pK)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(np.asarray(m1["loss_total"])),
+                               float(np.asarray(mK["loss_total"])),
+                               rtol=1e-6)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
