@@ -253,6 +253,26 @@ def test_static_variant_trains(tmp_path, scene):
     assert np.isfinite(float(np.asarray(m["loss_total"])))
 
 
+def test_static_scene_learns(tmp_path, tmp_path_factory):
+    """SCARED-style static vertical (use_deform False, deform_amp 0,
+    multi-view): the loss must show a real downward trend — learning
+    evidence beyond the 2-step smoke above."""
+    d = tmp_path_factory.mktemp("static_scene")
+    pkl = make_synthetic_scene(str(d), n_frames=4, h=20, w=24,
+                               deform_amp=0.0, orbit_deg=20.0)
+    static_scene = SceneData.load(pkl)
+    cfg = tiny_cfg(str(tmp_path), n_iter=60)
+    cfg["net"]["use_deform"] = False
+    cfg["train"]["optim"]["warm_up_end"] = 5
+    trainer = EndoSurfTrainer(cfg, mode="train", scene=static_scene)
+    losses = []
+    for step in range(1, 61):
+        m = trainer.train_step(step)
+        losses.append(float(np.asarray(m["loss_total"])))
+    assert np.mean(losses[-10:]) < 0.8 * np.mean(losses[:10]), (
+        np.mean(losses[:10]), np.mean(losses[-10:]))
+
+
 def test_ablation_zero_weights_compile_out(tmp_path, scene):
     cfg = tiny_cfg(str(tmp_path), n_iter=2)
     cfg["train"]["surf_neig_loss_weight"] = 0.0
