@@ -9,7 +9,10 @@ at endosurf.py:165-166). Here one evaluation produces sdf, color, and both
 gradients using the chain rule:
 
     x_c      = x + deform(x, t)
-    J        = d x_c / d x                  (jax.jacfwd through the warp)
+    J @ d, J^T @ grad_c                     (forward-mode Jacobian products:
+                                             jacfwd, or linearize +
+                                             linear_transpose — see
+                                             _DEFORM_JAC_MODE)
     grad_c   = d sdf / d x_c                (one jax.vjp cotangent pass)
     grad_o   = J^T @ grad_c                 (chain rule — free)
     d_c      = J @ d / ||J @ d||            (canonical view direction)
