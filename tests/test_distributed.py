@@ -51,29 +51,101 @@ print("DIST_OK", jax.process_index(), flush=True)
 """
 
 
-def test_two_process_global_mesh(tmp_path):
+TRAIN_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["ESN_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from endosurf_tpu.parallel.distributed import initialize
+from endosurf_tpu.parallel.mesh import make_mesh
+
+assert initialize()
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from __graft_entry__ import _synthetic_arrays
+from endosurf_tpu.models.endosurf import RenderSpec
+from endosurf_tpu.models.fields import (EndoSurfSpec, MLPSpec,
+                                        init_endosurf_params)
+from endosurf_tpu.train.schedules import warmup_cosine
+from endosurf_tpu.train.trainer_endosurf import make_train_step
+
+mesh = make_mesh()
+assert mesh.shape["data"] == 8  # 2 processes x 4 devices, one global mesh
+
+scene = _synthetic_arrays()
+spec = EndoSurfSpec(
+    deform_pos_freqs=2, deform_time_freqs=2, sdf_pos_freqs=2,
+    color_pos_freqs=2, color_dir_freqs=2,
+    deform=MLPSpec(2, 32, (), 3), sdf=MLPSpec(2, 32, (), 17),
+    color=MLPSpec(2, 32, (), 3), color_feat_dim=16)
+rspec = RenderSpec(n_samples=4, n_importance=4, up_sample_steps=2,
+                   anneal_end=10.0)
+tx = optax.adam(warmup_cosine(5e-4, 5, 100, 0.05))
+lw = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0,
+      "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
+      "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1}
+step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w, 16, lw,
+                          surf_neig_rad=0.1, mesh=mesh)
+
+# Same-seed everywhere: params/batches identical on all processes, the
+# sharded batch is laid out over the GLOBAL data axis, XLA inserts the
+# cross-process psums for the loss/grad reductions.
+params = init_endosurf_params(jax.random.PRNGKey(0), spec)
+opt_state = tx.init(params)
+arrays = scene.device_arrays
+key = jax.random.PRNGKey(7)
+losses = []
+for i in (1, 2):
+    key, k = jax.random.split(key)
+    params, opt_state, m = step_fn(params, opt_state, arrays, k,
+                                   jnp.asarray(float(i)))
+    losses.append(float(np.asarray(m["loss_total"])))
+assert all(np.isfinite(losses)), losses
+print("TRAIN_OK", jax.process_index(), round(losses[-1], 6), flush=True)
+"""
+
+
+def test_two_process_train_step(tmp_path):
+    """A sharded EndoSurf train step over a 2-process global mesh: the
+    full multi-host training path (jax.distributed + pjit psums over the
+    loopback 'DCN'). Both processes must report the same finite loss."""
+    outs = _run_workers(TRAIN_WORKER)
+    vals = set()
+    for pid, out in enumerate(outs):
+        line = [l for l in out.splitlines() if l.startswith("TRAIN_OK")]
+        assert line, f"process {pid}:\n{out}"
+        vals.add(line[0].split()[-1])
+    assert len(vals) == 1, vals  # identical replicated loss on both hosts
+
+
+def _run_workers(worker_src: str, n: int = 2, timeout: int = 600):
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(n):
         env = dict(os.environ)
         env.update({
             "ESN_REPO": REPO,
             "PYTHONPATH": REPO,
             "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
-            "JAX_NUM_PROCESSES": "2",
+            "JAX_NUM_PROCESSES": str(n),
             "JAX_PROCESS_ID": str(pid),
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
             "JAX_PLATFORMS": "cpu",
         })
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", WORKER], env=env,
+            [sys.executable, "-c", worker_src], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
+    return outs
+
+
+def test_two_process_global_mesh(tmp_path):
+    outs = _run_workers(WORKER, timeout=300)
+    for out in outs:
         assert "DIST_OK" in out
 
 
