@@ -6,7 +6,10 @@ Runs the flagship configuration — full-size 9x256 deform/SDF/color fields,
 including the 128-step sphere-traced surface-neighbour regularizer — i.e. the
 same per-iteration work as the reference's base_pull.yml training
 (/root/reference/configs/endosurf/baseline/base_pull.yml), on an in-memory
-synthetic scene (the real datasets are not redistributable).
+synthetic scene (the real datasets are not redistributable). The EndoNeRF
+baseline vertical's flagship step (64+64 samples, 2048 rays — reference
+configs/endonerf/baseline/base_pull.yml) is measured alongside and reported
+as a secondary field.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -25,7 +28,7 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 3500.0
 
 
-def _arm_watchdog(seconds: float = 2700.0):
+def _arm_watchdog(seconds: float = 3000.0):
     """Hard-exit if the device wedges (the tunneled TPU occasionally blocks
     all dispatches indefinitely); a clean failure beats a silent hang."""
     import os
@@ -43,33 +46,60 @@ def _arm_watchdog(seconds: float = 2700.0):
     return t
 
 
-def main():
-    watchdog = _arm_watchdog()
+def _measure(step_fn, params, opt_state, arrays, ray_batch,
+             n_steps=50, n_windows=4, tag=""):
+    """Warm up (compile), then time n_windows windows of n_steps steps.
+
+    Synchronization: fetch a scalar to host — on the tunneled TPU platform
+    block_until_ready returns prematurely, and the sequential params
+    dependency means one final fetch fences all steps. Returns the list of
+    per-window rays/s rates.
+    """
+    import sys
+
     import jax
     import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        t = time.perf_counter()
+        params, opt_state, metrics = step_fn(params, opt_state, arrays, k,
+                                             jnp.asarray(float(i + 1)))
+        loss = float(np.asarray(metrics["loss_total"]))
+        print(f"# {tag} warmup {i}: {time.perf_counter() - t:.1f}s "
+              f"loss={loss:.4f}", file=sys.stderr, flush=True)
+
+    # The tunneled TPU's dispatch latency fluctuates with contention
+    # (CLAUDE.md: 1.5s..22s observed for a tiny probe). Measure several
+    # windows; the MEDIAN window is the headline (best-of-N was
+    # methodologically optimistic — ADVICE r2), the spread is disclosed.
+    rates = []
+    step_i = 4
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            key, k = jax.random.split(key)
+            params, opt_state, metrics = step_fn(
+                params, opt_state, arrays, k, jnp.asarray(float(step_i)))
+            step_i += 1
+        float(np.asarray(metrics["loss_total"]))  # host fetch = fence
+        rates.append(n_steps * ray_batch / (time.perf_counter() - t0))
+    assert np.isfinite(float(np.asarray(metrics["loss_total"])))
+    return rates
+
+
+def bench_endosurf():
+    import jax
     import optax
 
-    from endosurf_tpu.data.scene_data import make_synthetic_arrays as _synthetic_arrays
+    from endosurf_tpu.data.scene_data import make_synthetic_arrays
     from endosurf_tpu.models.endosurf import RenderSpec
     from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
     from endosurf_tpu.train.schedules import warmup_cosine
     from endosurf_tpu.train.trainer_endosurf import make_train_step
 
-    from endosurf_tpu.models.fields import set_deform_jac_mode
-    from endosurf_tpu.ops.mlp import (set_activation_dtype,
-                                      set_matmul_precision,
-                                      set_sampling_precision)
-    # Shipping defaults (trainer_endosurf.setup mirrors these; measured in
-    # VALIDATION.md's mode matrix + quality gates): bf16 MXU passes, bf16
-    # MLP-interior storage, bf16 stop-gradient sampling paths, linearize
-    # deform-Jacobian products.
-    set_matmul_precision("default")
-    set_activation_dtype("bfloat16")
-    set_sampling_precision("default")
-    set_deform_jac_mode("linearize")
-
-    scene = _synthetic_arrays(n_frames=8, h=512, w=640)
-
+    scene = make_synthetic_arrays(n_frames=8, h=512, w=640)
     spec = EndoSurfSpec()
     rspec = RenderSpec()
     ray_batch = 1024
@@ -81,56 +111,69 @@ def main():
     }
     step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w, ray_batch,
                               loss_weights, surf_neig_rad=0.1, remat=False)
-
     params = init_endosurf_params(jax.random.PRNGKey(0), spec)
-    opt_state = tx.init(params)
-    arrays = scene.device_arrays
-    key = jax.random.PRNGKey(1)
+    return _measure(step_fn, params, tx.init(params), scene.device_arrays,
+                    ray_batch, tag="endosurf")
 
-    # Warmup / compile. Synchronization: fetch a scalar to host — on the
-    # tunneled TPU platform block_until_ready returns prematurely, and the
-    # sequential params dependency means one final fetch fences all steps.
-    import sys
-    for i in range(3):
-        key, k = jax.random.split(key)
-        t = time.perf_counter()
-        params, opt_state, metrics = step_fn(params, opt_state, arrays, k,
-                                             jnp.asarray(float(i + 1)))
-        loss = float(np.asarray(metrics["loss_total"]))
-        print(f"# warmup {i}: {time.perf_counter() - t:.1f}s loss={loss:.4f}",
-              file=sys.stderr, flush=True)
 
-    # The tunneled TPU's dispatch latency fluctuates with contention
-    # (CLAUDE.md: 1.5s..22s observed for a tiny probe). Measure several
-    # windows and report the best one — that is the chip's throughput;
-    # the spread is disclosed alongside.
-    n_steps, n_windows = 50, 4
-    window_rates = []
-    step_i = 4
-    for _ in range(n_windows):
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            key, k = jax.random.split(key)
-            params, opt_state, metrics = step_fn(
-                params, opt_state, arrays, k, jnp.asarray(float(step_i)))
-            step_i += 1
-        float(np.asarray(metrics["loss_total"]))  # host fetch = fence
-        window_rates.append(n_steps * ray_batch / (time.perf_counter() - t0))
+def bench_endonerf():
+    import jax
+    import optax
 
-    rays_per_sec = max(window_rates)
-    assert np.isfinite(float(np.asarray(metrics["loss_total"])))
+    from endosurf_tpu.data.scene_data import make_synthetic_arrays
+    from endosurf_tpu.models.endonerf import DNeRFRenderSpec, DNeRFSpec, \
+        init_dnerf_params
+    from endosurf_tpu.train.schedules import exponential
+    from endosurf_tpu.train.trainer_endonerf import make_train_step
+
+    scene = make_synthetic_arrays(n_frames=8, h=512, w=640)
+    spec = DNeRFSpec()
+    rspec = DNeRFRenderSpec()
+    ray_batch = 2048
+    tx = optax.adam(exponential(5e-4, 250))
+    loss_weights = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0}
+    step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w, ray_batch,
+                              loss_weights)
+    params = init_dnerf_params(jax.random.PRNGKey(0), spec)
+    return _measure(step_fn, params, tx.init(params), scene.device_arrays,
+                    ray_batch, n_windows=2, tag="endonerf")
+
+
+def main():
+    watchdog = _arm_watchdog()
+
+    from endosurf_tpu.models.fields import set_deform_jac_mode
+    from endosurf_tpu.ops.mlp import (set_activation_dtype,
+                                      set_matmul_precision,
+                                      set_sampling_precision)
+    # Shipping defaults (trainer setup mirrors these; measured in
+    # VALIDATION.md's mode matrix + quality gates): bf16 MXU passes, bf16
+    # MLP-interior storage, bf16 stop-gradient sampling paths, linearize
+    # deform-Jacobian products.
+    set_matmul_precision("default")
+    set_activation_dtype("bfloat16")
+    set_sampling_precision("default")
+    set_deform_jac_mode("linearize")
+
+    es_rates = bench_endosurf()
+    en_rates = bench_endonerf()
     watchdog.cancel()
+
+    rays_per_sec = float(np.median(es_rates))
     print(json.dumps({
         "metric": "endosurf_train_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE, 3),
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE,
+                             3),
         # The reference publishes no throughput anywhere (BASELINE.md); the
         # denominator is an estimate for NeuS-class double-backprop pipelines
         # on a modern CUDA GPU. Do not over-trust vs_baseline.
         "baseline_is_estimate": True,
         "baseline_rays_per_sec": REFERENCE_RAYS_PER_SEC_ESTIMATE,
-        "window_rays_per_sec": [round(r, 1) for r in window_rates],
+        "window_rays_per_sec": [round(r, 1) for r in es_rates],
+        "endonerf_rays_per_sec": round(float(np.median(en_rates)), 1),
+        "endonerf_window_rays_per_sec": [round(r, 1) for r in en_rates],
     }))
 
 

@@ -460,8 +460,8 @@ def make_synthetic_scene(out_dir: str, n_frames: int = 8, h: int = 48,
         pts_box = pts[hit] if hit.any() else pts.reshape(-1, 3)
         bboxes.append(np.stack([pts_box.min(0) - pad,
                                 pts_box.max(0) + pad], -1))
-        bounds.append(np.array([z_depth[hit].min(), z_depth.max()])
-                      * depth_norm_scale)
+        z_near = z_depth[hit].min() if hit.any() else z_depth.min()
+        bounds.append(np.array([z_near, z_depth.max()]) * depth_norm_scale)
 
     color_paths, depth_paths, mask_paths = [], [], []
     for i in range(n_frames):

@@ -63,14 +63,17 @@ def put_global_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
     with the same PRNG key — the trainer's key chain is seed-derived and
     identical on all processes). `jax.device_put` with a global sharding
     then places only the shards addressable from this process; arrays
-    with no leading ray axis (scalars like frame_id) stay replicated.
+    whose leading axis is not divisible by the mesh (i.e. not the ray
+    axis — scalars like frame_id, odd tails) stay replicated, mirroring
+    mesh.constrain_axis0.
     """
     from endosurf_tpu.parallel.mesh import ray_sharding, replicated_sharding
     ray_sh = ray_sharding(mesh)
     rep_sh = replicated_sharding(mesh)
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
+        if (hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] % mesh.size == 0):
             return jax.device_put(x, ray_sh)
         return jax.device_put(x, rep_sh)
 

@@ -134,15 +134,24 @@ class Trainer:
         # Dispatch-window size (train.steps_per_call): K optimizer steps per
         # device call via lax.scan in the subclass step. On a high-latency
         # link (the tunneled TPU) this amortizes the per-dispatch round trip
-        # K-fold. Cadence semantics at K>1: evals whose step falls INSIDE a
-        # window fire at the window start (<=K-1 steps early); logs/saves
-        # fire at the window's last step. With the usual cadences (500/2500/
-        # 20000) divisible by K, every boundary lands exactly.
+        # K-fold. Cadence semantics at K>1: eval steps are window BOUNDARIES
+        # (the window is shortened so an eval step starts its own window),
+        # so evals fire at their exact step — K>1 runs are eval-curve
+        # identical to K=1 regardless of divisibility. Logs/saves fire at
+        # the window's last step with that step's label (the state they
+        # describe), at most K-1 steps later than a K=1 run would emit them.
         K = max(1, int(self.train_cfg.get("steps_per_call", 1)))
 
         def in_window(cadence, a, b):
             """Is some multiple of `cadence` within [a, b]?"""
             return cadence > 0 and (b // cadence) > ((a - 1) // cadence)
+
+        def eval_boundaries(step):
+            """Steps > step at which an eval must fire (they start windows)."""
+            if self.i_eval <= 0:
+                return ()
+            nxt = (step // self.i_eval + 1) * self.i_eval
+            return (nxt, self.n_iter)
 
         try:
             from tqdm import tqdm
@@ -153,9 +162,10 @@ class Trainer:
         step = self.step_start
         while step <= end:
             kk = min(K, end - step + 1)
-            # Never cross a subclass boundary (e.g. important_begin_iter
-            # flips the compiled step) mid-window.
-            for bnd in self.window_boundaries():
+            # Never cross a boundary mid-window: subclass boundaries (e.g.
+            # important_begin_iter flips the compiled step) and eval steps
+            # (so evals fire at their exact step even at K>1).
+            for bnd in (*self.window_boundaries(), *eval_boundaries(step)):
                 if step < bnd <= step + kk - 1:
                     kk = bnd - step
             s_last = step + kk - 1
@@ -163,20 +173,12 @@ class Trainer:
             if prof_start and step <= prof_start <= s_last:
                 import jax
                 jax.profiler.start_trace(osp.join(self.exp_dir, "profile"))
-            if self.i_eval > 0:
-                eval_steps = [1] if step == 1 else []
-                if in_window(self.i_eval, step, s_last):
-                    first = ((step - 1) // self.i_eval + 1) * self.i_eval
-                    eval_steps += [s for s in
-                                   range(first, s_last + 1, self.i_eval)
-                                   if s not in eval_steps]
-                if (step <= self.n_iter <= s_last
-                        and self.n_iter not in eval_steps):
-                    eval_steps.append(self.n_iter)
-                for s in eval_steps:
-                    # At K>1 this fires <=K-1 steps earlier than the
-                    # reference's eval-before-step-s; labels keep s.
-                    self.eval(s)
+            if self.i_eval > 0 and (step == 1 or step % self.i_eval == 0
+                                    or step == self.n_iter):
+                # Exact reference cadence: eval BEFORE training step `step`
+                # (trainer_basic.py:85-115); eval_boundaries() guarantees
+                # such steps start their own window.
+                self.eval(step)
 
             metrics = self.train_step_window(step, kk)
             rays_done += ray_batch * kk

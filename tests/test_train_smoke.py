@@ -204,6 +204,32 @@ def test_steps_per_call_trainer_loop(tmp_path, scene):
     assert tr2.step_start == 7  # checkpoint saved at the true last step
 
 
+def test_eval_fires_at_exact_step_at_k_gt_1(tmp_path, scene):
+    """At steps_per_call=5 with i_eval=3 (NOT divisible), evals must fire at
+    their exact step, before that step trains — eval steps split the
+    dispatch window (VERDICT r2 item 7). Loop-semantics only: the step and
+    eval bodies are stubbed, so no compilation happens."""
+    cfg = tiny_cfg(str(tmp_path), n_iter=10)
+    cfg["train"]["steps_per_call"] = 5
+    cfg["log"] = {"i_eval": 3, "i_save": 0}
+    tr = EndoSurfTrainer(cfg, mode="train", scene=scene)
+
+    trained, evals = [], []
+
+    def stub_window(step, kk):
+        trained.extend(range(step, step + kk))
+        return {"loss_total": 0.0}
+
+    tr.train_step_window = stub_window
+    tr.eval = lambda step: evals.append((step, len(trained)))
+    tr.start(log_every=1000)
+
+    assert trained == list(range(1, 11))
+    # Eval steps: 1 (start), multiples of 3, and n_iter — each fired when
+    # exactly step-1 steps had trained (i.e. BEFORE its own step).
+    assert evals == [(1, 0), (3, 2), (6, 5), (9, 8), (10, 9)]
+
+
 def test_precision_coupled_defaults(tmp_path, scene):
     """Shipping coupling: bf16 matmuls -> bf16 interior + linearize;
     strict-parity "highest" keeps the f32 interior + jacfwd."""
