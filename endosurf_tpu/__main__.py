@@ -46,6 +46,20 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    # Multi-host: bring up the jax.distributed runtime BEFORE any backend
+    # initializes, driven purely by the standard env vars
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — also
+    # auto-set on Cloud TPU pods). No-op for single-process runs. After
+    # this, jax.devices() is the global device list, the trainers build a
+    # global ("data",) mesh, and every host-side write (config, ckpt,
+    # logs, eval artifacts) is process-0 guarded.
+    from endosurf_tpu.parallel.distributed import initialize
+    if initialize():
+        import jax
+        print(f"DIST|process {jax.process_index()}/{jax.process_count()}"
+              f"|local_devices:{jax.local_device_count()}"
+              f"|global_devices:{jax.device_count()}", flush=True)
+
     from endosurf_tpu.config import load_config
     cfg = load_config(args.cfg)
     trainer = build_trainer(cfg, args.mode)

@@ -106,6 +106,12 @@ def eval_frames(trainer, fids: Sequence[int], step: int,
     if lp is not None:
         stats["lpips_rgb_vr"] = lp
 
+    # Multi-process runs: every process rendered (the jitted chunks hold
+    # cross-process collectives, so all must participate), but only the
+    # main process writes artifacts into the shared exp_dir.
+    if not getattr(trainer, "is_main", True):
+        return stats
+
     save_dir = osp.join(trainer.exp_dir, save_dir_name, f"iter_{step:08d}")
     os.makedirs(save_dir, exist_ok=True)
     with open(osp.join(save_dir, "stats_out.txt"), "w") as f:

@@ -56,6 +56,20 @@ def initialize(coordinator_address: Optional[str] = None,
     return True
 
 
+def is_main_process() -> bool:
+    """True on the process that owns host-side writes (ckpt/logs/eval).
+
+    Two processes sharing an exp_dir must not race on checkpoint replaces
+    or JSONL appends; every writer in the train/eval path is gated on this.
+    Single-process runs are trivially the main process.
+    """
+    return jax.process_index() == 0
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
 def put_global_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
     """Shard a host-local batch over the global ('data',) mesh.
 

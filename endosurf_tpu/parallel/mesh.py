@@ -51,6 +51,24 @@ def constrain_axis0(x, mesh: Optional[Mesh]):
     return jax.lax.with_sharding_constraint(x, ray_sharding(mesh))
 
 
+def replicate_outputs(tree, mesh: Optional[Mesh]):
+    """Constrain a jitted computation's outputs to fully-replicated layout.
+
+    Inference closures (eval/demo renders) shard their inputs over the data
+    axis; on a MULTI-PROCESS mesh the outputs would then not be addressable
+    from any single host, so `np.asarray` on the result would fail. Pinning
+    the outputs replicated makes XLA emit the all-gather inside the program
+    (ICI/DCN), after which every process holds the full result. No-op for
+    single-process runs — the outputs are addressable anyway and the extra
+    layout pins would only constrain XLA.
+    """
+    if mesh is None or jax.process_count() == 1:
+        return tree
+    rep = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, rep), tree)
+
+
 def shard_ray_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Pin per-ray tensors to the data axis; scalars stay replicated."""
     ray_sh = ray_sharding(mesh)

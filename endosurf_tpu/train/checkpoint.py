@@ -27,6 +27,28 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _local_checkpointer():
+    """Orbax checkpointer scoped to THIS process only.
+
+    Trees are materialized to host numpy before save (every process holds a
+    full replica under the data mesh), so save/restore is plain local file
+    I/O and the Trainer owns all cross-process coordination (process-0-only
+    saves, everyone restores at startup). The default PyTreeCheckpointer
+    would instead run a GLOBAL sync_global_processes barrier inside save()
+    — a process-0-only save then deadlocks the pod (observed: Gloo context
+    init DEADLINE_EXCEEDED). Scoping active_processes to the caller keeps
+    orbax's barriers trivially local.
+    """
+    if jax.process_count() == 1:
+        return ocp.PyTreeCheckpointer()
+    pid = jax.process_index()
+    opts = ocp.options.MultiprocessingOptions(
+        primary_host=pid, active_processes={pid},
+        barrier_sync_key_prefix=f"esn_local_p{pid}")
+    return ocp.Checkpointer(ocp.PyTreeCheckpointHandler(),
+                            multiprocessing_options=opts)
+
+
 def save_checkpoint(exp_dir: str, step: int, params: Dict[str, Any],
                     opt_state: Any) -> str:
     """Atomically save {params, opt_state, n_iter}; keep previous as backup."""
@@ -39,7 +61,7 @@ def save_checkpoint(exp_dir: str, step: int, params: Dict[str, Any],
             "opt_state": _to_host(opt_state)}
     if osp.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
-    ocp.PyTreeCheckpointer().save(tmp_dir, tree)
+    _local_checkpointer().save(tmp_dir, tree)
 
     if osp.exists(ckpt_dir):
         if osp.exists(backup_dir):
@@ -56,7 +78,7 @@ def load_checkpoint(exp_dir: str,
     for name in (CKPT_NAME, BACKUP_NAME):
         path = osp.join(osp.abspath(exp_dir), name)
         if osp.exists(path):
-            restored = ocp.PyTreeCheckpointer().restore(path)
+            restored = _local_checkpointer().restore(path)
             if opt_state_template is not None:
                 # Orbax restores raw containers; rebuild the optax pytree
                 # structure (NamedTuples) from the template.

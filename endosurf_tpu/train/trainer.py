@@ -58,23 +58,31 @@ class Trainer:
 
         self.setup()  # subclass: model/optimizer/jitted step
 
+        # Multi-process runs share one exp_dir: only process 0 writes
+        # (config, TB/JSONL, checkpoints, eval artifacts); every process
+        # restores, so resume state is identical everywhere.
+        from endosurf_tpu.parallel.distributed import is_main_process
+        self.is_main = is_main_process()
+
         if mode != "train":
             restored = load_checkpoint(self.exp_dir, self.opt_state_template())
             assert restored is not None, (
                 f"no checkpoint found in {self.exp_dir}")
             self.restore(restored)
         else:
-            save_config(cfg, osp.join(self.exp_dir, "cfg.yml"))
+            if self.is_main:
+                save_config(cfg, osp.join(self.exp_dir, "cfg.yml"))
             if self.resume:
                 restored = load_checkpoint(self.exp_dir,
                                            self.opt_state_template())
                 if restored is not None:
                     self.restore(restored)
-            writer_cfg = log_cfg.get("summary_writer", {})
-            self.writer = MetricsWriter(
-                self.exp_dir, cfg,
-                backend=writer_cfg.get("type", "tensorboard"),
-                project=self.proj_name, name=self.exp_name)
+            if self.is_main:
+                writer_cfg = log_cfg.get("summary_writer", {})
+                self.writer = MetricsWriter(
+                    self.exp_dir, cfg,
+                    backend=writer_cfg.get("type", "tensorboard"),
+                    project=self.proj_name, name=self.exp_name)
 
     # -- subclass interface -------------------------------------------------
     def setup(self) -> None:
@@ -212,8 +220,9 @@ class Trainer:
                           f"|loss:{metrics.get('loss_total', float('nan')):.5g}"
                           f"|rays/s:{rays_done / dt:,.0f}", flush=True)
 
-            if self.i_save > 0 and (in_window(self.i_save, step, s_last)
-                                    or s_last in (self.n_iter, end)):
+            if (self.is_main and self.i_save > 0
+                    and (in_window(self.i_save, step, s_last)
+                         or s_last in (self.n_iter, end))):
                 params, opt_state = self.checkpoint_state()
                 path = save_checkpoint(self.exp_dir, s_last, params,
                                        opt_state)

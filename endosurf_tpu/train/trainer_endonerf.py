@@ -121,7 +121,9 @@ class EndoNeRFTrainer(Trainer):
         }
         self.mesh = None
         par_cfg = cfg.get("parallel", {})
-        if par_cfg.get("data_parallel", False):
+        # Multi-process runs ALWAYS build the global mesh (see the EndoSurf
+        # trainer note); single-process stays opt-in.
+        if par_cfg.get("data_parallel", False) or jax.process_count() > 1:
             from endosurf_tpu.parallel.mesh import make_mesh
             self.mesh = make_mesh(par_cfg.get("n_devices"))
         self._step_fns: Dict[int, Any] = {}
@@ -188,15 +190,17 @@ class EndoNeRFTrainer(Trainer):
     normals_from_depth = True
 
     def render_fn(self, use_importance: bool = True):
-        from endosurf_tpu.parallel.mesh import constrain_axis0
+        from endosurf_tpu.parallel.mesh import constrain_axis0, \
+            replicate_outputs
         spec, rspec, mesh = self.spec, self.rspec, self.mesh
 
         @jax.jit
         def fn(params, rays, step_f):
             del step_f
-            return render_rays(spec, rspec, params,
-                               constrain_axis0(rays, mesh), key=None,
-                               want_normals=False)
+            out = render_rays(spec, rspec, params,
+                              constrain_axis0(rays, mesh), key=None,
+                              want_normals=False)
+            return replicate_outputs(out, mesh)
         return fn
 
     def demo_field_fn(self):

@@ -184,7 +184,10 @@ class EndoSurfTrainer(Trainer):
                              for k in LOSS_WEIGHT_KEYS}
         self.mesh = None
         par_cfg = cfg.get("parallel", {})
-        if par_cfg.get("data_parallel", False):
+        # Multi-process runs ALWAYS build the global mesh: without it each
+        # process would train a full replica independently (duplicated
+        # work, divergent state). Single-process stays opt-in.
+        if par_cfg.get("data_parallel", False) or jax.process_count() > 1:
             from endosurf_tpu.parallel.mesh import make_mesh
             self.mesh = make_mesh(par_cfg.get("n_devices"))
         self._step_fns: Dict[Any, Any] = {}
@@ -247,15 +250,19 @@ class EndoSurfTrainer(Trainer):
         """Jitted chunked render closure for full-frame evaluation.
 
         With data_parallel on, eval ray chunks are sharded over the mesh
-        like training batches — full-frame rendering scales with chips."""
-        from endosurf_tpu.parallel.mesh import constrain_axis0
+        like training batches — full-frame rendering scales with chips.
+        Under multi-process meshes the outputs are gathered back to
+        replicated so host-side frame assembly works on every process."""
+        from endosurf_tpu.parallel.mesh import constrain_axis0, \
+            replicate_outputs
         mesh = self.mesh
 
         @functools.partial(jax.jit, static_argnames=())
         def fn(params, rays, step_f):
             rays = constrain_axis0(rays, mesh)
-            return render_rays(self.spec, self.rspec, params, rays, step_f,
-                               key=None, use_importance=use_importance)
+            out = render_rays(self.spec, self.rspec, params, rays, step_f,
+                              key=None, use_importance=use_importance)
+            return replicate_outputs(out, mesh)
         return fn
 
     def demo_field_fn(self):
