@@ -32,6 +32,54 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+def validate_weights(raw) -> None:
+    """Raise ValueError unless `raw` is a structurally valid weights map.
+
+    The contract (what tools/convert_lpips_weights.py emits): 13 convs
+    named conv{i}_w/_b in the VGG16 2-2-3-3-3 block grouping, HWIO layout
+    with 3x3 kernels chaining from 3 input channels; 5 heads lin{i}_w,
+    one per block tap, each [C_block] and non-negative (lpips heads are
+    non-negative by construction — a negative entry means the wrong torch
+    tensor was extracted). Channel WIDTHS are read from the arrays (the
+    forward adapts), so the same check serves the full VGG16 file and the
+    tiny-width oracle fixtures in tests/test_metrics.py.
+    """
+    n_convs_total = sum(n for _, n in _VGG_BLOCKS)
+    expected_keys = {f"conv{i}_{s}" for i in range(n_convs_total)
+                     for s in ("w", "b")}
+    expected_keys |= {f"lin{i}_w" for i in range(len(_VGG_BLOCKS))}
+    missing = sorted(expected_keys - set(raw))
+    extra = sorted(set(raw) - expected_keys)
+    if missing or extra:
+        raise ValueError(
+            f"lpips weights schema mismatch: missing={missing} extra={extra}")
+
+    idx, c_in = 0, 3
+    for bi, (_, n_convs) in enumerate(_VGG_BLOCKS):
+        for _ in range(n_convs):
+            w, b = raw[f"conv{idx}_w"], raw[f"conv{idx}_b"]
+            if w.ndim != 4 or w.shape[:3] != (3, 3, c_in):
+                raise ValueError(
+                    f"lpips weights: conv{idx}_w has shape {tuple(w.shape)}, "
+                    f"expected (3, 3, {c_in}, C_out) — convs must be HWIO "
+                    "(see tools/convert_lpips_weights.py)")
+            if b.shape != (w.shape[3],):
+                raise ValueError(
+                    f"lpips weights: conv{idx}_b shape {tuple(b.shape)} "
+                    f"does not match conv{idx}_w out-channels {w.shape[3]}")
+            c_in = w.shape[3]
+            idx += 1
+        lin = np.asarray(raw[f"lin{bi}_w"])
+        if lin.shape != (c_in,):
+            raise ValueError(
+                f"lpips weights: lin{bi}_w shape {lin.shape} does not match "
+                f"block-{bi} tap width ({c_in},)")
+        if lin.min() < 0:
+            raise ValueError(
+                f"lpips weights: lin{bi}_w has negative entries; lpips "
+                "linear heads are non-negative — wrong tensor extracted?")
+
+
 def _conv(x, w, b):
     # x: [B,H,W,C]; w: [kh,kw,in,out] (converted from torch OIHW).
     y = jax.lax.conv_general_dilated(
@@ -61,12 +109,21 @@ def _normalize(feat, eps=1e-10):
     return feat / (norm + eps)
 
 
-@functools.lru_cache(maxsize=1)
-def lpips_fn() -> Optional[Callable]:
-    """Return a jitted lpips(a, b) over [B,H,W,3] images in [0,1], or None."""
-    if not osp.exists(WEIGHTS_PATH):
+@functools.lru_cache(maxsize=2)
+def lpips_fn(path: Optional[str] = None) -> Optional[Callable]:
+    """Return a jitted lpips(a, b) over [B,H,W,3] images in [0,1], or None.
+
+    `path` defaults to the module-level WEIGHTS_PATH (resolved at call
+    time). Returns None only when the weights file is absent (the
+    zero-egress gap); a PRESENT file that fails schema validation raises,
+    so a bad conversion can't silently disable the metric.
+    """
+    if path is None:
+        path = WEIGHTS_PATH
+    if not osp.exists(path):
         return None
-    raw = dict(np.load(WEIGHTS_PATH))
+    raw = dict(np.load(path))
+    validate_weights(raw)
     weights = {k: jnp.asarray(v) for k, v in raw.items()}
 
     @jax.jit

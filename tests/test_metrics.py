@@ -187,5 +187,54 @@ def test_lpips_matches_torch_oracle(tmp_path, monkeypatch):
         lj.lpips_fn.cache_clear()
 
 
+def test_lpips_weights_schema_validation(tmp_path):
+    """The weight-drop procedure is self-checking: a valid npz loads
+    through lpips_fn(path) with zero code changes, and corrupted files
+    (missing key, torch-OIHW layout, negative heads, width mismatch)
+    raise instead of silently disabling or mis-computing the metric
+    (VERDICT r2 item 8)."""
+    import endosurf_tpu.evaluation.lpips_jax as lj
+
+    rng = np.random.default_rng(1)
+    good_path = str(tmp_path / "good.npz")
+    good = _tiny_vgg_npz(rng, good_path)
+
+    # Happy path: present + valid -> callable, runs, identity -> 0.
+    lj.lpips_fn.cache_clear()
+    try:
+        fn = lj.lpips_fn(good_path)
+        assert fn is not None
+        a = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(fn(a, a)), 0.0, atol=1e-6)
+    finally:
+        lj.lpips_fn.cache_clear()
+
+    # Absent -> None (graceful degradation, lpips=None in stats).
+    assert lj.lpips_fn(str(tmp_path / "nope.npz")) is None
+    lj.lpips_fn.cache_clear()
+
+    def expect_raise(mutate, match):
+        bad = dict(good)
+        mutate(bad)
+        p = str(tmp_path / "bad.npz")
+        np.savez(p, **bad)
+        lj.lpips_fn.cache_clear()
+        with pytest.raises(ValueError, match=match):
+            lj.lpips_fn(p)
+        lj.lpips_fn.cache_clear()
+
+    expect_raise(lambda d: d.pop("conv3_w"), "missing")
+    expect_raise(lambda d: d.update(stray=np.zeros(3, np.float32)), "extra")
+    # Torch OIHW layout left untransposed.
+    expect_raise(lambda d: d.update(
+        conv0_w=np.transpose(d["conv0_w"], (3, 2, 0, 1))), "HWIO")
+    expect_raise(lambda d: d.update(
+        lin0_w=-np.abs(d["lin0_w"])), "non-negative")
+    expect_raise(lambda d: d.update(
+        lin4_w=np.ones(7, np.float32)), "tap width")
+    expect_raise(lambda d: d.update(
+        conv1_b=np.zeros(3, np.float32)), "out-channels")
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

@@ -34,6 +34,15 @@ def main():
     for li, lin in enumerate(model.lins):
         w = lin.model[-1].weight.detach().numpy()    # [1,C,1,1]
         out[f"lin{li}_w"] = w[0, :, 0, 0]
+
+    # Self-check against the consumer's schema before writing, so a
+    # torchvision/lpips layout change can't produce a silently-wrong file.
+    import os.path as osp
+    import sys
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    from endosurf_tpu.evaluation.lpips_jax import validate_weights
+    validate_weights(out)
+
     np.savez(args.out, **out)
     print(f"wrote {args.out} with {conv_idx} convs and {len(model.lins)} heads")
 

@@ -34,7 +34,7 @@ for i in $(seq 1 120); do
   echo "=== chunk invocation $i $(date) ===" >> "$LOG"
   timeout 7200 python tools/validate_synthetic.py \
     --steps 100000 --orbit 30 --frames 16 --mc-res 96 \
-    --exp-dir "$EXP" --chunk 10000 --i-eval 20000 \
+    --exp-dir "$EXP" --chunk 20000 --i-eval 20000 \
     --precision high --sampling-precision default >> "$LOG" 2>&1
   rc=$?
   if [ $rc -ne 0 ]; then
