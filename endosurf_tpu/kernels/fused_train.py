@@ -501,6 +501,7 @@ def forward_math(spec, eff, consts, xt, d_pad):
 # jnp everywhere else (CPU tests, tiny batches, non-TPU backends).
 _KERNEL_ENABLED = True
 _MIN_POINTS = 4096
+_FORCE_KERNEL = False   # tests: route through Pallas (interpret on CPU)
 
 
 def set_kernel_enabled(enabled: bool) -> None:
@@ -508,7 +509,14 @@ def set_kernel_enabled(enabled: bool) -> None:
     _KERNEL_ENABLED = bool(enabled)
 
 
+def set_force_kernel(force: bool) -> None:
+    global _FORCE_KERNEL
+    _FORCE_KERNEL = bool(force)
+
+
 def _use_kernel(n_points: int) -> bool:
+    if _FORCE_KERNEL:
+        return True
     if not _KERNEL_ENABLED or n_points < _MIN_POINTS:
         return False
     try:

@@ -1,0 +1,87 @@
+"""Pallas megakernel vs jnp-oracle parity (interpret mode on CPU).
+
+Forces megakernel_point_eval through the Pallas segment kernels
+(set_force_kernel; interpret mode auto-engages on the CPU backend) and
+checks forward outputs and parameter gradients against the pure-jnp path,
+which tests/test_fused_train.py already pins to fields.fused_point_eval.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from endosurf_tpu.kernels import fused_train as ft
+from endosurf_tpu.models.fields import (
+    EndoSurfSpec,
+    MLPSpec,
+    init_endosurf_params,
+)
+
+
+@pytest.fixture(scope="module")
+def small_spec():
+    return EndoSurfSpec(
+        deform=MLPSpec(3, 64, (1,), 3),
+        sdf=MLPSpec(3, 64, (1,), 33),
+        color=MLPSpec(2, 64, (), 3),
+        color_feat_dim=32,
+    )
+
+
+@pytest.fixture(scope="module")
+def small_params(small_spec):
+    return init_endosurf_params(jax.random.PRNGKey(0), small_spec)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    key = jax.random.PRNGKey(11)
+    kx, kd, kt = jax.random.split(key, 3)
+    n = 150   # non-multiple of 128: exercises padding
+    x = jax.random.uniform(kx, (n, 3), minval=-0.8, maxval=0.8)
+    d = jax.random.normal(kd, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jax.random.uniform(kt, (n, 1))
+    return x, d, t
+
+
+@pytest.fixture
+def force_kernel():
+    ft.set_force_kernel(True)
+    yield
+    ft.set_force_kernel(False)
+
+
+def _loss(spec, params, x, d, t):
+    out = ft.megakernel_point_eval(spec, params, x, d, t)
+    eik = jnp.mean((jnp.linalg.norm(out["grad_o"], axis=-1) - 1.0) ** 2)
+    col = jnp.mean((out["color"] - 0.5) ** 2)
+    return jnp.mean(jnp.abs(out["sdf"])) + eik + col
+
+
+def test_pallas_forward_matches_jnp(small_spec, small_params, batch,
+                                    force_kernel):
+    x, d, t = batch
+    got = ft.megakernel_point_eval(small_spec, small_params, x, d, t)
+    ft.set_force_kernel(False)
+    ref = ft.megakernel_point_eval(small_spec, small_params, x, d, t)
+    for k in ("sdf", "color", "grad_o", "grad_c"):
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(got[k]), rtol=2e-5, atol=2e-6,
+            err_msg=k)
+
+
+def test_pallas_grads_match_jnp(small_spec, small_params, batch,
+                                force_kernel):
+    x, d, t = batch
+    g_got = jax.grad(lambda p: _loss(small_spec, p, x, d, t))(small_params)
+    ft.set_force_kernel(False)
+    g_ref = jax.grad(lambda p: _loss(small_spec, p, x, d, t))(small_params)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_got, _ = jax.tree_util.tree_flatten_with_path(g_got)
+    assert len(flat_ref) == len(flat_got)
+    for (path_r, a), (_, b) in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(path_r))
