@@ -376,7 +376,11 @@ def _sdf_adjoint(layers, head_w, gates):
     """
     n = len(layers)
     B = gates[0].shape[0]
-    a = jnp.broadcast_to(head_w[:, 0][None, :], (B, head_w.shape[0]))
+    # head_w.T (a [1, H] reshape), NOT head_w[:, 0][None, :]: the 1-D [H]
+    # intermediate's vjp is a rank-1 reduction Mosaic cannot lay out
+    # ("unsupported output implicit dimension"); the transpose keeps every
+    # tensor in the differentiated graph >= 2-D.
+    a = jnp.broadcast_to(head_w.T, (B, head_w.shape[0]))
     aE = None
     for l in range(n - 1, -1, -1):
         a = a * gates[l]                     # through act of z_l

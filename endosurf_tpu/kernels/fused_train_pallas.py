@@ -35,8 +35,14 @@ from endosurf_tpu.kernels.fused_train import (
     seg_sdf_math,
 )
 
-BLOCK_FWD = 512
-BLOCK_BWD = 128
+# Block sizes are VMEM-bound: the fwd segments keep ~4 passes of 256-wide
+# activations live, the bwd segments additionally hold vjp residuals +
+# resident grad blocks (v5e: 128M physical VMEM, vmem_limit raised below).
+# Env overrides for tuning sweeps (tools/mk_tpu_bringup.py).
+import os as _os
+
+BLOCK_FWD = int(_os.environ.get("ESN_MK_BLOCK_FWD", 256))
+BLOCK_BWD = int(_os.environ.get("ESN_MK_BLOCK_BWD", 128))
 
 # None = auto (interpret when running on CPU, compiled on TPU).
 _INTERPRET: Optional[bool] = None
@@ -152,6 +158,12 @@ def _seg_pallas(fn, res_tree, blocks: Sequence[jnp.ndarray],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interpret(),
+        # v5e has 128M VMEM; XLA's default 16M scoped-vmem budget is far
+        # below what the resident weights + recompute chain need.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(*res_leaves, *blocks)
     if not isinstance(results, (tuple, list)):
         results = (results,)

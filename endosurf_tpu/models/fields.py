@@ -208,6 +208,45 @@ def set_deform_jac_mode(mode: str) -> None:
     _DEFORM_JAC_MODE = mode
 
 
+# Megakernel dispatch for the fused evaluation: the Pallas fwd+bwd segment
+# kernels (kernels/fused_train.py) replace XLA autodiff of the vmapped path
+# on TPU at large point counts — same outputs/cotangents, activations kept
+# in VMEM instead of round-tripping HBM. "auto" defers to the kernel gate
+# (backend + batch size); "on" forces it (tests; interpret mode on CPU);
+# "off" always uses the vmapped autodiff path.
+_MEGAKERNEL_MODE = "auto"
+
+
+def set_megakernel_mode(mode: str) -> None:
+    global _MEGAKERNEL_MODE
+    assert mode in ("auto", "on", "off")
+    _MEGAKERNEL_MODE = mode
+
+
+def _megakernel_serves(n_points: int) -> bool:
+    if _MEGAKERNEL_MODE == "off":
+        return False
+    if _MEGAKERNEL_MODE == "on":
+        return True
+    from endosurf_tpu.kernels.fused_train import _use_kernel
+    return _use_kernel(n_points)
+
+
+def _megakernel_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
+                     d: jnp.ndarray, t: jnp.ndarray):
+    """Route through the megakernel with precision synced to ops.mlp."""
+    from endosurf_tpu.kernels import fused_train as ft
+    from endosurf_tpu.ops.mlp import get_matmul_precision
+    prec = get_matmul_precision()
+    if prec == "default":
+        ft.set_compute_mode(jnp.bfloat16, None)   # MXU bf16, f32 accum
+    elif prec == "high":
+        ft.set_compute_mode(jnp.float32, "high")  # bf16x3 passes
+    else:
+        ft.set_compute_mode(jnp.float32, "highest")
+    return ft.megakernel_point_eval(spec, params, x, d, t)
+
+
 def _point_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
                 d: jnp.ndarray, t: jnp.ndarray):
     """Single-point fused evaluation. x,d: [3], t: [1].
@@ -277,6 +316,9 @@ def fused_point_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
       gradient, equals the reference's get_sdf_grad_from_observed_space),
       grad_c [N,3] (canonical normal fed to the color net).
     """
+    if _megakernel_serves(x.shape[0]):
+        return _megakernel_eval(spec, params, x, d, t)
+
     def batched(p, xx, dd, tt):
         return jax.vmap(_point_eval, in_axes=(None, None, 0, 0, 0))(
             spec, p, xx, dd, tt)

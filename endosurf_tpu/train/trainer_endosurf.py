@@ -165,6 +165,13 @@ class EndoSurfTrainer(Trainer):
                        == "bfloat16" else "jacfwd")
         set_deform_jac_mode(self.train_cfg.get("jac_mode", jac_default))
         self.remat = bool(self.train_cfg.get("remat", False))
+        # Megakernel: Pallas fwd+bwd segment kernels for the fused point
+        # evaluation (kernels/fused_train.py). "auto" engages on TPU at the
+        # flagship batch sizes and is a no-op elsewhere; precision follows
+        # matmul_precision (bf16 compute under "default"). The jac_mode /
+        # activation_dtype knobs above only govern the non-kernel path.
+        from endosurf_tpu.models.fields import set_megakernel_mode
+        set_megakernel_mode(self.train_cfg.get("megakernel", "auto"))
 
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)
@@ -177,7 +184,18 @@ class EndoSurfTrainer(Trainer):
             self.n_iter, optim_cfg.get("lr_alpha", 0.05))
         # torch.optim.Adam defaults (betas 0.9/0.999, eps 1e-8) == optax.adam.
         self.lr_schedule = schedule
-        self.tx = optax.adam(schedule)
+        # optim.deform_lr_mult scales the deform net's LR relative to the
+        # shared schedule (capacity experiments; reference uses one LR for
+        # all four subnets, trainer_endosurf.py:60-74 — 1.0 is parity).
+        deform_mult = float(optim_cfg.get("deform_lr_mult", 1.0))
+        if deform_mult != 1.0:
+            self.tx = optax.multi_transform(
+                {"deform": optax.adam(lambda c: schedule(c) * deform_mult),
+                 "rest": optax.adam(schedule)},
+                {k: ("deform" if k == "deform_network" else "rest")
+                 for k in self.params})
+        else:
+            self.tx = optax.adam(schedule)
         self.opt_state = self.tx.init(self.params)
 
         self.loss_weights = {k: float(self.train_cfg.get(k, 0.0))

@@ -85,3 +85,39 @@ def test_pallas_grads_match_jnp(small_spec, small_params, batch,
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6,
             err_msg=jax.tree_util.keystr(path_r))
+
+
+def test_trainer_step_megakernel_parity(tmp_path_factory):
+    """Full trainer step with megakernel forced through Pallas (interpret)
+    matches the vmapped-autodiff path at f32/highest."""
+    from endosurf_tpu.data.scene_data import SceneData, make_synthetic_scene
+    from endosurf_tpu.models.fields import set_megakernel_mode
+    from endosurf_tpu.train.trainer_endosurf import EndoSurfTrainer
+    from tests.test_train_smoke import tiny_cfg
+
+    d = tmp_path_factory.mktemp("scene_mk")
+    pkl = make_synthetic_scene(str(d), n_frames=3, h=16, w=20)
+    scene = SceneData.load(pkl)
+
+    def run(exp_dir, megakernel):
+        cfg = tiny_cfg(str(exp_dir), n_iter=4)
+        cfg["train"]["matmul_precision"] = "highest"
+        cfg["train"]["megakernel"] = megakernel
+        trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
+        m1 = trainer.train_step(1)
+        m2 = trainer.train_step(2)
+        return (float(m1["loss_total"]), float(m2["loss_total"]),
+                np.asarray(trainer.params["sdf_network"]["layers"][0]["v"]))
+
+    l1_off, l2_off, p_off = run(tmp_path_factory.mktemp("off"), "off")
+    ft.set_force_kernel(True)
+    try:
+        l1_on, l2_on, p_on = run(tmp_path_factory.mktemp("on"), "on")
+    finally:
+        ft.set_force_kernel(False)
+        set_megakernel_mode("auto")
+
+    assert np.isfinite(l1_on) and np.isfinite(l2_on)
+    np.testing.assert_allclose(l1_on, l1_off, rtol=2e-4)
+    np.testing.assert_allclose(l2_on, l2_off, rtol=2e-3)
+    np.testing.assert_allclose(p_on, p_off, rtol=1e-3, atol=2e-6)
