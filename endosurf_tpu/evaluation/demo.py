@@ -154,7 +154,7 @@ def run_demo(trainer, step: int, test_mode: bool = False,
         if visualize:
             normal_show = (normal_to_show(pred["normal"], scene.poses[fids])
                            if "normal" in pred else None)
-            _, shows_2d = [], []
+            shows_2d = []
             for i in range(len(fids)):
                 panels = [rgb_to_show(rgb_gt[i]), rgb_to_show(pred["rgb"][i]),
                           depth_to_show(depth_gt[i], depth_max),
@@ -231,6 +231,10 @@ def run_demo(trainer, step: int, test_mode: bool = False,
                                 to8b(img))
 
         stats["geo_err_mean"] = float(np.mean(geo_errs))
+        # Per-frame errors: the deformation-extreme vs neutral-frame split
+        # is the round-2/3 capacity diagnostic (VALIDATION.md); expose it
+        # programmatically, not only via stats_out.txt.
+        stats["geo_err_per_frame"] = [float(e) for e in geo_errs]
         with open(osp.join(d3, "stats_out.txt"), "w") as f:
             f.write(f"mean: {stats['geo_err_mean']:f}\n")
             for k, v in enumerate(geo_errs):
@@ -268,6 +272,6 @@ def run_demo(trainer, step: int, test_mode: bool = False,
         write_video(osp.join(df, "demo.mp4"), frames, fps)
         write_gif(osp.join(df, "demo.gif"), frames, fps)
 
-    print("DEMO|" + "|".join(f"{k}:{v:.4f}" for k, v in stats.items()),
-          flush=True)
+    print("DEMO|" + "|".join(f"{k}:{v:.4f}" for k, v in stats.items()
+                             if np.isscalar(v)), flush=True)
     return stats

@@ -103,3 +103,48 @@ def test_demo_with_virtual_camera(tmp_path, tmp_path_factory):
     assert np.isfinite(stats["geo_err_mean"])
     base = osp.join(trainer.exp_dir, "demo", "iter_00000001")
     assert osp.exists(osp.join(base, "test_final", "demo.mp4"))
+
+
+def test_bundled_virtual_cameras():
+    """The shipped configs/vis_cfg JSONs parse and carry sane geometry
+    (reference analog: src/dataset/vis_cfg/virtual_cam_*.json)."""
+    import glob
+
+    from endosurf_tpu.evaluation.demo import load_virtual_camera
+
+    paths = sorted(glob.glob("configs/vis_cfg/virtual_cam_*.json"))
+    assert len(paths) >= 3  # endonerf, scared2019, synthetic
+    for p in paths:
+        K, w2c, w, h = load_virtual_camera(p)
+        assert w > 0 and h > 0
+        assert K[0, 0] > 0 and K[1, 1] > 0
+        # rotation block orthonormal, camera outside the unit sphere
+        R = w2c[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        c = -R.T @ w2c[:3, 3]
+        assert 0.5 < np.linalg.norm(c) < 5.0
+
+
+def test_make_virtual_camera_tool(tmp_path, tmp_path_factory):
+    """tools/make_virtual_camera.py output round-trips through the demo
+    loader and frames the synthetic scene."""
+    from endosurf_tpu.evaluation.demo import load_virtual_camera
+    from tools.make_virtual_camera import camera_from_scene, \
+        write_virtual_camera
+
+    d = tmp_path_factory.mktemp("vcam_scene")
+    pkl = make_synthetic_scene(str(d), n_frames=4, h=20, w=24, orbit_deg=25.0)
+    scene = SceneData.load(pkl)
+    K, w2c, w, h = camera_from_scene(scene, pullback=0.25, tilt_deg=10.0)
+    p = str(tmp_path / "cam.json")
+    write_virtual_camera(p, K, w2c, w, h)
+    K2, w2c2, w2, h2 = load_virtual_camera(p)
+    np.testing.assert_allclose(K2, K, rtol=1e-12)
+    np.testing.assert_allclose(w2c2, w2c, rtol=1e-9, atol=1e-12)
+    assert (w2, h2) == (w, h)
+    # the scene center (origin) must project inside the image
+    c = w2c[:3, :3] @ np.zeros(3) + w2c[:3, 3]
+    assert c[2] > 0
+    u = c[0] / c[2] * K[0, 0] + K[0, 2]
+    v = c[1] / c[2] * K[1, 1] + K[1, 2]
+    assert 0 <= u < w and 0 <= v < h
