@@ -35,7 +35,8 @@ for i in $(seq 1 120); do
   timeout 7200 python tools/validate_synthetic.py \
     --steps 100000 --orbit 30 --frames 16 --mc-res 96 \
     --exp-dir "$EXP" --chunk 20000 --i-eval 20000 \
-    --precision high --sampling-precision default >> "$LOG" 2>&1
+    --precision high --sampling-precision default \
+    --megakernel off >> "$LOG" 2>&1
   rc=$?
   if [ $rc -ne 0 ]; then
     echo "--- chunk rc=$rc $(date); sleeping 300s before retry ---" >> "$LOG"

@@ -30,6 +30,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--megakernel", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="Pallas fwd+bwd megakernel dispatch (off = the "
+                         "XLA-autodiff path; controls must not mix paths "
+                         "mid-run)")
     ap.add_argument("--precision", default="default")
     ap.add_argument("--sampling-precision", default="default")
     ap.add_argument("--frames", type=int, default=16)
@@ -46,6 +51,13 @@ def main():
     ap.add_argument("--mc-res", type=int, default=96)
     ap.add_argument("--i-eval", type=int, default=0,
                     help="mid-training eval cadence (reference: 20000)")
+    # Deform-capacity sweep knobs (EndoSurf only): vary the deform net
+    # against the reference architecture (9x256, 6 time octaves, shared LR
+    # — endosurf.py:692-738 / base_pull.yml net.deform_network).
+    ap.add_argument("--deform-width", type=int, default=None)
+    ap.add_argument("--deform-layers", type=int, default=None)
+    ap.add_argument("--time-octaves", type=int, default=None)
+    ap.add_argument("--deform-lr-mult", type=float, default=None)
     args = ap.parse_args()
 
     from endosurf_tpu.data.scene_data import SceneData, make_synthetic_scene
@@ -78,6 +90,7 @@ def main():
                       "surf_neig_loss_weight": 0.1, "surf_neig_rad": 0.1,
                       "resume": True, "matmul_precision": args.precision,
                       "sampling_precision": args.sampling_precision,
+                      "megakernel": args.megakernel,
                       "remat": False,
                       # 5 optimizer steps per device dispatch: amortizes the
                       # tunnel's dispatch latency (bit-equivalent to K=1;
@@ -94,6 +107,15 @@ def main():
                      "marching_cubes_resolution": args.mc_res,
                      "marching_cubes_thresh": 0},
         }
+        dn = cfg["net"]["deform_network"]
+        if args.deform_width:
+            dn["hidden_dim"] = args.deform_width
+        if args.deform_layers:
+            dn["n_layers"] = args.deform_layers
+        if args.time_octaves:
+            dn["enc_time_cfg"] = {"multires": args.time_octaves}
+        if args.deform_lr_mult:
+            cfg["train"]["optim"]["deform_lr_mult"] = args.deform_lr_mult
         trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
     else:
         from endosurf_tpu.train.trainer_endonerf import EndoNeRFTrainer
@@ -153,7 +175,15 @@ def main():
         **{k: round(float(v), 4) for k, v in eval_stats.items()},
         "geo_err_mean_mm": round(demo_stats.get("geo_err_mean", float("nan")),
                                  4),
+        # extreme-vs-neutral split: test frames sit at t=0.2/0.47/0.73/1.0
+        # (radius offsets +9.5%/+2.1%/-9.9%/0% — VALIDATION.md).
+        "geo_err_per_frame_mm": [round(float(e), 4) for e in
+                                 demo_stats.get("geo_err_per_frame", [])],
     }
+    for k in ("deform_width", "deform_layers", "time_octaves",
+              "deform_lr_mult"):
+        if getattr(args, k) is not None:
+            out[k] = getattr(args, k)
     if done_steps:
         out["rays_per_sec"] = round(
             done_steps * cfg["train"]["ray_batch"] / train_s, 1)
