@@ -423,11 +423,17 @@ def seg_deform_math(eff_d, consts, xt):
     x_c = xt + dx
 
     g1_d = _enc_d1(v_d, k_d)
-    jrows = []
-    for k in range(3):
-        seed = S_d[k][None, :] * g1_d
-        u = _tangent_fwd(eff_d, seed, gates)
-        jrows.append(_onehot_lane(k, u.shape[1], u.dtype) + u)
+    # One stacked tangent pass for all 3 Jacobian rows: seeds concatenated
+    # on the batch axis ([3B, E]) ride the same weight matmuls with 3x the
+    # rows — identical math to three separate passes, ~3x better MXU
+    # utilization and 1/3 the instruction count.
+    B = xt.shape[0]
+    seeds = jnp.concatenate([S_d[k][None, :] * g1_d for k in range(3)], 0)
+    gates3 = [None if g is None else jnp.concatenate([g] * 3, 0)
+              for g in gates]
+    u3 = _tangent_fwd(eff_d, seeds, gates3)
+    jrows = [_onehot_lane(k, u3.shape[1], u3.dtype) + u3[k * B:(k + 1) * B]
+             for k in range(3)]
     return x_c, jrows
 
 
