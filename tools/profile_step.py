@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--jac-mode", default="jacfwd",
                     choices=["jacfwd", "linearize"],
                     help="deform-Jacobian formulation (models/fields.py)")
+    ap.add_argument("--megakernel", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="Pallas fwd+bwd megakernel dispatch")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +90,8 @@ def main():
                            else args.sampling_precision)
     set_activation_dtype(args.activation_dtype)
     set_deform_jac_mode(args.jac_mode)
+    from endosurf_tpu.models.fields import set_megakernel_mode
+    set_megakernel_mode(args.megakernel)
 
     scene = make_synthetic_arrays(n_frames=8, h=512, w=640)
     spec, rspec = EndoSurfSpec(), RenderSpec()
