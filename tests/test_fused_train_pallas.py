@@ -87,6 +87,29 @@ def test_pallas_grads_match_jnp(small_spec, small_params, batch,
             err_msg=jax.tree_util.keystr(path_r))
 
 
+def test_pallas_grads_no_deform(batch, force_kernel):
+    """Static-scene (use_deform=False) vertical through the Pallas path."""
+    from endosurf_tpu.models.fields import MLPSpec
+    spec = EndoSurfSpec(
+        use_deform=False,
+        sdf=MLPSpec(3, 64, (1,), 33),
+        color=MLPSpec(2, 64, (), 3),
+        color_feat_dim=32,
+    )
+    params = init_endosurf_params(jax.random.PRNGKey(2), spec)
+    x, d, t = batch
+    g_got = jax.grad(lambda p: _loss(spec, p, x, d, t))(params)
+    ft.set_force_kernel(False)
+    g_ref = jax.grad(lambda p: _loss(spec, p, x, d, t))(params)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_got, _ = jax.tree_util.tree_flatten_with_path(g_got)
+    assert len(flat_ref) == len(flat_got)
+    for (path_r, a), (_, b) in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(path_r))
+
+
 def test_trainer_step_megakernel_parity(tmp_path_factory):
     """Full trainer step with megakernel forced through Pallas (interpret)
     matches the vmapped-autodiff path at f32/highest."""
