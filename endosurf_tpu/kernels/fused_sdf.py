@@ -68,6 +68,12 @@ def fused_sdf_available(n_points: int) -> bool:
     """Should the fused kernel serve a sampling-path SDF query of this size?"""
     if not _ENABLED or n_points < _MIN_POINTS:
         return False
+    # Mesh runs use the XLA path: pallas_call has no GSPMD partitioning
+    # rule, so the partitioner would replicate the batch around the kernel
+    # (parallel/mesh.py note).
+    from endosurf_tpu.parallel.mesh import mesh_active
+    if mesh_active():
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:

@@ -529,6 +529,12 @@ def _use_kernel(n_points: int) -> bool:
         return True
     if not _KERNEL_ENABLED or n_points < _MIN_POINTS:
         return False
+    # No GSPMD rule for pallas_call: under a device mesh the partitioner
+    # would replicate the batch around the kernel (parallel/mesh.py note);
+    # the XLA path shards correctly, so it serves mesh runs.
+    from endosurf_tpu.parallel.mesh import mesh_active
+    if mesh_active():
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:

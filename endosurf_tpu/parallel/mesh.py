@@ -27,7 +27,12 @@ def make_mesh(n_devices: Optional[int] = None,
     devs = devices if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    return Mesh(np.asarray(devs), ("data",))
+    mesh = Mesh(np.asarray(devs), ("data",))
+    # >1 device: route kernel-dispatch gates to the XLA path (see the
+    # kernel/mesh interaction note at the bottom of this module).
+    if mesh.size > 1:
+        set_mesh_active(True)
+    return mesh
 
 
 def ray_sharding(mesh: Mesh) -> NamedSharding:
@@ -80,3 +85,26 @@ def shard_ray_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         return jax.lax.with_sharding_constraint(x, rep_sh)
 
     return {k: constrain(v) for k, v in batch.items()}
+
+
+# ---------------------------------------------------------------------------
+# kernel/mesh interaction
+# ---------------------------------------------------------------------------
+
+# Pallas kernels (kernels/fused_sdf.py, kernels/fused_train*.py) have no
+# GSPMD partitioning rule: under a sharded computation the SPMD partitioner
+# replicates their operands (measured: 18 all-gathers around the megakernel
+# on an 8-device mesh), running the FULL batch on every device — silent
+# de-parallelization. Until the train step moves to shard_map, kernel
+# dispatch gates consult this flag and fall back to the XLA path (which
+# GSPMD shards correctly) whenever a mesh is active.
+_MESH_ACTIVE = False
+
+
+def set_mesh_active(active: bool) -> None:
+    global _MESH_ACTIVE
+    _MESH_ACTIVE = bool(active)
+
+
+def mesh_active() -> bool:
+    return _MESH_ACTIVE

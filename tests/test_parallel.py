@@ -193,3 +193,24 @@ def test_eval_render_sharded_matches_replicated(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_mesh_disables_pallas_kernels():
+    """pallas_call has no GSPMD rule; a >1-device mesh must gate the
+    kernel dispatches to the XLA path (which shards correctly)."""
+    from endosurf_tpu.kernels.fused_sdf import fused_sdf_available
+    from endosurf_tpu.kernels.fused_train import _use_kernel
+    from endosurf_tpu.parallel import mesh as pm
+
+    pm.set_mesh_active(False)
+    try:
+        baseline_sdf = fused_sdf_available(1 << 20)
+        baseline_mk = _use_kernel(1 << 20)   # False on CPU, True on TPU
+        m = pm.make_mesh(2)
+        assert m.size == 2
+        assert pm.mesh_active()
+        assert not fused_sdf_available(1 << 20)
+        assert not _use_kernel(1 << 20)
+        del baseline_sdf, baseline_mk
+    finally:
+        pm.set_mesh_active(False)
