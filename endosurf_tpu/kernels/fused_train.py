@@ -541,10 +541,19 @@ def _use_kernel(n_points: int) -> bool:
         return False
 
 
-@functools.lru_cache(maxsize=8)
-def _build_segments(spec: EndoSurfSpec):
-    """Per-spec custom_vjp segment functions (consts closed over as numpy)."""
+@functools.lru_cache(maxsize=16)
+def _build_segments(spec: EndoSurfSpec, force: bool = False):
+    """Per-spec custom_vjp segment functions (consts closed over as numpy).
+
+    ``force=True`` builds segments that unconditionally run the Pallas
+    kernels — used by the shard_map dispatch (fields.fused_point_eval),
+    where the per-device shard should hit the kernel even though the
+    global mesh_active() gate would otherwise bounce it.
+    """
     consts = selectors(spec)
+
+    def kern(n: int) -> bool:
+        return force or _use_kernel(n)
 
     # --- deform ---------------------------------------------------------
     @jax.custom_vjp
@@ -552,7 +561,7 @@ def _build_segments(spec: EndoSurfSpec):
         return _seg_deform_impl(eff_d, xt)
 
     def _seg_deform_impl(eff_d, xt):
-        if _use_kernel(xt.shape[0]):
+        if kern(xt.shape[0]):
             from endosurf_tpu.kernels import fused_train_pallas as ftp
             return ftp.deform_fwd(spec, consts, eff_d, xt)
         return seg_deform_math(eff_d, consts, xt)
@@ -563,7 +572,7 @@ def _build_segments(spec: EndoSurfSpec):
 
     def seg_deform_bwd(res, ct):
         eff_d, xt = res
-        if _use_kernel(xt.shape[0]):
+        if kern(xt.shape[0]):
             from endosurf_tpu.kernels import fused_train_pallas as ftp
             d_eff = ftp.deform_bwd(spec, consts, eff_d, xt, ct)
         else:
@@ -580,7 +589,7 @@ def _build_segments(spec: EndoSurfSpec):
         return _seg_sdf_impl(eff_s, head, featw, x_c)
 
     def _seg_sdf_impl(eff_s, head, featw, x_c):
-        if _use_kernel(x_c.shape[0]):
+        if kern(x_c.shape[0]):
             from endosurf_tpu.kernels import fused_train_pallas as ftp
             return ftp.sdf_fwd(spec, consts, eff_s, head, featw, x_c)
         return seg_sdf_math(eff_s, head, featw, consts, x_c)
@@ -591,7 +600,7 @@ def _build_segments(spec: EndoSurfSpec):
 
     def seg_sdf_bwd(res, ct):
         eff_s, head, featw, x_c = res
-        if _use_kernel(x_c.shape[0]):
+        if kern(x_c.shape[0]):
             from endosurf_tpu.kernels import fused_train_pallas as ftp
             return ftp.sdf_bwd(spec, consts, eff_s, head, featw, x_c, ct)
         _, pull = jax.vjp(
@@ -607,7 +616,7 @@ def _build_segments(spec: EndoSurfSpec):
         return _seg_color_impl(eff_c, x_c, grad_c, d_c, feat)
 
     def _seg_color_impl(eff_c, x_c, grad_c, d_c, feat):
-        if _use_kernel(x_c.shape[0]):
+        if kern(x_c.shape[0]):
             from endosurf_tpu.kernels import fused_train_pallas as ftp
             return ftp.color_fwd(spec, consts, eff_c, x_c, grad_c, d_c, feat)
         return seg_color_math(eff_c, consts, x_c, grad_c, d_c, feat)
@@ -618,7 +627,7 @@ def _build_segments(spec: EndoSurfSpec):
 
     def seg_color_bwd(res, ct):
         eff_c, x_c, grad_c, d_c, feat = res
-        if _use_kernel(x_c.shape[0]):
+        if kern(x_c.shape[0]):
             from endosurf_tpu.kernels import fused_train_pallas as ftp
             return ftp.color_bwd(spec, consts, eff_c, x_c, grad_c, d_c,
                                  feat, ct)
@@ -647,15 +656,18 @@ def pad_lanes(a: jnp.ndarray, extra: Optional[jnp.ndarray] = None
 
 
 def megakernel_point_eval(spec: EndoSurfSpec, params: Dict[str, Any],
-                          x: jnp.ndarray, d: jnp.ndarray, t: jnp.ndarray
+                          x: jnp.ndarray, d: jnp.ndarray, t: jnp.ndarray,
+                          force_kernel: bool = False
                           ) -> Dict[str, jnp.ndarray]:
     """Fused field evaluation with hand-structured fwd+bwd.
 
     Same contract as fields.fused_point_eval: x [N,3], d [N,3], t [N,1] ->
     {sdf [N], color [N,3], grad_o [N,3], grad_c [N,3]}. x/d/t receive no
     cotangents (data rays / stop-gradient'd sample locations).
+    ``force_kernel`` pins every segment to the Pallas path (shard_map
+    bodies, where the global gate must not re-decide per shard).
     """
-    seg_deform, seg_sdf, seg_color = _build_segments(spec)
+    seg_deform, seg_sdf, seg_color = _build_segments(spec, force_kernel)
     eff = prepare_effective(spec, params)
     xt = pad_lanes(x, t)
     d_pad = pad_lanes(d)

@@ -232,9 +232,37 @@ def _megakernel_serves(n_points: int) -> bool:
     return _use_kernel(n_points)
 
 
-def _megakernel_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
-                     d: jnp.ndarray, t: jnp.ndarray):
-    """Route through the megakernel with precision synced to ops.mlp."""
+def _megakernel_mesh(n_points: int):
+    """Mesh to shard_map the megakernel over, or None.
+
+    pallas_call has no GSPMD partitioning rule (parallel/mesh.py note), so
+    on a >1-device mesh the kernel runs under shard_map: params replicated,
+    points sharded on the ray/sample axis — batch-pointwise, no
+    collectives. Requires an even split and a per-device shard still big
+    enough for the kernel gate.
+    """
+    if _MEGAKERNEL_MODE == "off":
+        return None
+    from endosurf_tpu.kernels.fused_train import (_KERNEL_ENABLED,
+                                                  _MIN_POINTS)
+    from endosurf_tpu.parallel.mesh import current_mesh, mesh_active
+    if not (mesh_active() and _KERNEL_ENABLED):
+        return None
+    mesh = current_mesh()
+    if mesh is None or n_points % mesh.size != 0:
+        return None
+    if n_points // mesh.size < _MIN_POINTS and _MEGAKERNEL_MODE != "on":
+        return None
+    try:
+        import jax as _jax
+        if _jax.default_backend() not in ("tpu", "axon"):
+            return None
+    except Exception:
+        return None
+    return mesh
+
+
+def _sync_megakernel_precision():
     from endosurf_tpu.kernels import fused_train as ft
     from endosurf_tpu.ops.mlp import get_matmul_precision
     prec = get_matmul_precision()
@@ -244,7 +272,39 @@ def _megakernel_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
         ft.set_compute_mode(jnp.float32, "high")  # bf16x3 passes
     else:
         ft.set_compute_mode(jnp.float32, "highest")
+
+
+def _megakernel_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
+                     d: jnp.ndarray, t: jnp.ndarray):
+    """Route through the megakernel with precision synced to ops.mlp."""
+    from endosurf_tpu.kernels import fused_train as ft
+    _sync_megakernel_precision()
     return ft.megakernel_point_eval(spec, params, x, d, t)
+
+
+def _megakernel_eval_sharded(spec: EndoSurfSpec, params: Params,
+                             x: jnp.ndarray, d: jnp.ndarray,
+                             t: jnp.ndarray, mesh):
+    """Megakernel under shard_map: each device runs the Pallas segments on
+    its shard of the point batch (params replicated; no collectives — the
+    evaluation is batch-pointwise). This is how the kernel composes with
+    the data-parallel mesh, since pallas_call has no GSPMD rule."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from endosurf_tpu.kernels import fused_train as ft
+    _sync_megakernel_precision()
+
+    def body(p, xx, dd, tt):
+        return ft.megakernel_point_eval(spec, p, xx, dd, tt,
+                                        force_kernel=True)
+
+    out_specs = {"sdf": P("data"), "color": P("data"),
+                 "grad_o": P("data"), "grad_c": P("data")}
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(), P("data"), P("data"), P("data")),
+                  out_specs=out_specs, check_vma=False)
+    return f(params, x, d, t)
 
 
 def _point_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
@@ -318,6 +378,9 @@ def fused_point_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
     """
     if _megakernel_serves(x.shape[0]):
         return _megakernel_eval(spec, params, x, d, t)
+    mk_mesh = _megakernel_mesh(x.shape[0])
+    if mk_mesh is not None:
+        return _megakernel_eval_sharded(spec, params, x, d, t, mk_mesh)
 
     def batched(p, xx, dd, tt):
         return jax.vmap(_point_eval, in_axes=(None, None, 0, 0, 0))(

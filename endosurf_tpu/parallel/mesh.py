@@ -28,10 +28,11 @@ def make_mesh(n_devices: Optional[int] = None,
     if n_devices is not None:
         devs = devs[:n_devices]
     mesh = Mesh(np.asarray(devs), ("data",))
-    # >1 device: route kernel-dispatch gates to the XLA path (see the
-    # kernel/mesh interaction note at the bottom of this module).
+    # >1 device: register the mesh so kernel-dispatch sites shard_map
+    # their kernels over it (or fall back to the XLA path) — see the
+    # kernel/mesh interaction note at the bottom of this module.
     if mesh.size > 1:
-        set_mesh_active(True)
+        set_mesh_active(True, mesh)
     return mesh
 
 
@@ -95,16 +96,24 @@ def shard_ray_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 # GSPMD partitioning rule: under a sharded computation the SPMD partitioner
 # replicates their operands (measured: 18 all-gathers around the megakernel
 # on an 8-device mesh), running the FULL batch on every device — silent
-# de-parallelization. Until the train step moves to shard_map, kernel
-# dispatch gates consult this flag and fall back to the XLA path (which
-# GSPMD shards correctly) whenever a mesh is active.
+# de-parallelization. Kernel dispatch sites therefore either (a) run the
+# kernel under shard_map on the registered mesh (batch-pointwise: params
+# replicated, points sharded, no collectives — see
+# fields.fused_point_eval), or (b) where the batch doesn't divide the
+# mesh, fall back to the XLA path, which GSPMD shards correctly.
 _MESH_ACTIVE = False
+_CURRENT_MESH: Optional[Mesh] = None
 
 
-def set_mesh_active(active: bool) -> None:
-    global _MESH_ACTIVE
+def set_mesh_active(active: bool, mesh: Optional[Mesh] = None) -> None:
+    global _MESH_ACTIVE, _CURRENT_MESH
     _MESH_ACTIVE = bool(active)
+    _CURRENT_MESH = mesh if active else None
 
 
 def mesh_active() -> bool:
     return _MESH_ACTIVE
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH

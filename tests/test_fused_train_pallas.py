@@ -144,3 +144,53 @@ def test_trainer_step_megakernel_parity(tmp_path_factory):
     np.testing.assert_allclose(l1_on, l1_off, rtol=2e-4)
     np.testing.assert_allclose(l2_on, l2_off, rtol=2e-3)
     np.testing.assert_allclose(p_on, p_off, rtol=1e-3, atol=2e-6)
+
+
+def test_megakernel_under_shard_map(small_spec, small_params):
+    """Megakernel under shard_map on an 8-device mesh: values + param
+    grads match the vmapped path, with NO all-gathers (pallas_call has no
+    GSPMD rule; shard_map partitions the batch explicitly)."""
+    from endosurf_tpu.kernels import fused_train_pallas as ftp
+    from endosurf_tpu.models import fields as F
+    from endosurf_tpu.parallel import mesh as pm
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    mesh = pm.make_mesh(8)
+    ftp.set_interpret(True)
+    try:
+        n = 1024
+        key = jax.random.PRNGKey(1)
+        x = jax.random.uniform(key, (n, 3), minval=-0.5, maxval=0.5)
+        d = jnp.ones((n, 3)) / jnp.sqrt(3.0)
+        t = jnp.full((n, 1), 0.5)
+
+        def loss_sharded(p):
+            out = F._megakernel_eval_sharded(small_spec, p, x, d, t, mesh)
+            return (jnp.mean(out["sdf"]) + jnp.mean(out["color"])
+                    + jnp.mean(jnp.square(out["grad_o"])))
+
+        def loss_ref(p):
+            out = F.fused_point_eval(small_spec, p, x, d, t)
+            return (jnp.mean(out["sdf"]) + jnp.mean(out["color"])
+                    + jnp.mean(jnp.square(out["grad_o"])))
+
+        with mesh:
+            v_s = float(jax.jit(loss_sharded)(small_params))
+            g_s = jax.jit(jax.grad(loss_sharded))(small_params)
+            hlo = jax.jit(loss_sharded).lower(
+                small_params).compile().as_text()
+        v_r = float(jax.jit(loss_ref)(small_params))
+        g_r = jax.jit(jax.grad(loss_ref))(small_params)
+
+        np.testing.assert_allclose(v_s, v_r, rtol=1e-5)
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(g_s)[0],
+                jax.tree_util.tree_flatten_with_path(g_r)[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6,
+                err_msg=jax.tree_util.keystr(pa))
+        assert hlo.count("all-gather") == 0
+    finally:
+        ftp.set_interpret(None)
+        pm.set_mesh_active(False)
