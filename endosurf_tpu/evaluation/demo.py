@@ -125,7 +125,8 @@ def run_demo(trainer, step: int, test_mode: bool = False,
         pred = render_full_frames(
             trainer.render_fn(), trainer.params, arrays, scene.h, scene.w,
             fids, step, ray_chunk,
-            ray_transform=getattr(trainer, "eval_ray_transform", None))
+            ray_transform=getattr(trainer, "eval_ray_transform", None),
+            chunks_per_call=cfg.get("chunks_per_call", 0))
         depth_filter = cfg.get("depth_filter")
         if depth_filter not in ("None", None):
             # Demo-only depth smoothing (reference trainer_endonerf.py:288).

@@ -26,10 +26,27 @@ from endosurf_tpu.evaluation.vis import (
 )
 
 
+def default_chunks_per_call() -> int:
+    """Chunks folded into one dispatch by default.
+
+    The tunneled-TPU dispatch RTT oscillates 1.9 ms .. 2.3 s (CLAUDE.md);
+    a 512x640 frame is 160 chunks of 2048 rays, so per-chunk dispatch makes
+    frame latency hostage to the tunnel. On TPU backends, fold 16 chunks
+    per call (lax.map — sequential on device, so peak memory stays
+    ~one-chunk); on CPU keep 1 (tests, no RTT to amortize).
+    """
+    import jax
+    try:
+        return 16 if jax.default_backend() not in ("cpu",) else 1
+    except Exception:
+        return 1
+
+
 def render_full_frames(render_fn, params, arrays, h: int, w: int,
                        fids: Sequence[int], step: int,
                        ray_chunk: int = 2048,
-                       ray_transform=None) -> Dict[str, np.ndarray]:
+                       ray_transform=None,
+                       chunks_per_call: int = 0) -> Dict[str, np.ndarray]:
     """Render frames with a jitted chunked renderer.
 
     ``render_fn(params, rays[chunk,9], step_f) -> dict`` must return at least
@@ -37,7 +54,25 @@ def render_full_frames(render_fn, params, arrays, h: int, w: int,
     weighted normal map. ``ray_transform(rays[N,9], fid) -> rays`` lets a
     model rewrite ray slots per frame (EndoNeRF writes gt depth into slot 6
     for depth-guided sampling, reference trainer_endonerf.py:163-165).
+
+    ``chunks_per_call`` > 1 folds that many chunks into a single device
+    dispatch via ``lax.map`` (0 = backend default, see
+    ``default_chunks_per_call``). Numerically identical to the per-chunk
+    loop up to compiler fusion differences (~1e-7); only the dispatch
+    count changes.
     """
+    import jax
+
+    if chunks_per_call <= 0:
+        chunks_per_call = default_chunks_per_call()
+
+    render_many = None
+    if chunks_per_call > 1:
+        @jax.jit
+        def render_many(params, rays3, step_f):
+            return jax.lax.map(
+                lambda r: render_fn(params, r, step_f), rays3)
+
     rgbs, depths, normals = [], [], []
     step_f = jnp.asarray(float(step))
     for fid in fids:
@@ -49,17 +84,36 @@ def render_full_frames(render_fn, params, arrays, h: int, w: int,
         rays_p = np.concatenate(
             [rays, np.repeat(rays[-1:], n_pad, 0)], 0) if n_pad else rays
         rgb_parts, depth_parts, normal_parts = [], [], []
-        for i in range(0, rays_p.shape[0], ray_chunk):
-            out = render_fn(params, jnp.asarray(rays_p[i:i + ray_chunk]),
-                            step_f)
-            rgb_parts.append(np.asarray(out["color_map"]))
-            depth_parts.append(np.asarray(out["depth_map"]))
+
+        def collect(out, n_sub: int):
+            """Append one call's outputs ([n_sub*chunk, ...])."""
+            rgb_parts.append(np.asarray(out["color_map"]).reshape(
+                n_sub * ray_chunk, -1))
+            depth_parts.append(np.asarray(out["depth_map"]).reshape(
+                n_sub * ray_chunk, -1))
             if "normal_map" in out:
-                normal_parts.append(np.asarray(out["normal_map"]))
+                normal_parts.append(np.asarray(out["normal_map"]).reshape(
+                    n_sub * ray_chunk, -1))
             elif "gradients_o" in out:
-                nm = (np.asarray(out["gradients_o"])
-                      * np.asarray(out["weights"])[..., None]).sum(1)
-                normal_parts.append(nm)
+                g = np.asarray(out["gradients_o"]).reshape(
+                    n_sub * ray_chunk, -1, 3)
+                wgt = np.asarray(out["weights"]).reshape(
+                    n_sub * ray_chunk, -1)
+                normal_parts.append((g * wgt[..., None]).sum(1))
+
+        n_chunks = rays_p.shape[0] // ray_chunk
+        n_grouped = (0 if render_many is None
+                     else (n_chunks // chunks_per_call) * chunks_per_call)
+        if n_grouped:
+            rays3 = jnp.asarray(rays_p[:n_grouped * ray_chunk]).reshape(
+                -1, chunks_per_call, ray_chunk, 9)
+            for g in range(rays3.shape[0]):
+                collect(render_many(params, rays3[g], step_f),
+                        chunks_per_call)
+        for c in range(n_grouped, n_chunks):
+            i = c * ray_chunk
+            collect(render_fn(params, jnp.asarray(rays_p[i:i + ray_chunk]),
+                              step_f), 1)
         rgb = np.concatenate(rgb_parts, 0)[:n_rays].reshape(h, w, 3)
         depth = np.concatenate(depth_parts, 0)[:n_rays].reshape(h, w, 1)
         rgbs.append(rgb)
@@ -75,7 +129,8 @@ def render_full_frames(render_fn, params, arrays, h: int, w: int,
 
 def eval_frames(trainer, fids: Sequence[int], step: int,
                 ray_chunk: int = 2048, save_dir_name: str = "eval",
-                save_images: bool = True) -> Dict[str, float]:
+                save_images: bool = True,
+                chunks_per_call: int = 0) -> Dict[str, float]:
     """Render test frames, compute masked metrics, save composites + stats."""
     scene = trainer.scene
     arrays = scene.device_arrays
@@ -84,7 +139,8 @@ def eval_frames(trainer, fids: Sequence[int], step: int,
     render_fn = trainer.render_fn()
     pred = render_full_frames(
         render_fn, trainer.params, arrays, scene.h, scene.w, fids, step,
-        ray_chunk, ray_transform=getattr(trainer, "eval_ray_transform", None))
+        ray_chunk, ray_transform=getattr(trainer, "eval_ray_transform", None),
+        chunks_per_call=chunks_per_call)
     if "normal" not in pred and getattr(trainer, "normals_from_depth", False):
         from endosurf_tpu.evaluation.vis import normal_from_depth
         rays = np.stack([np.asarray(frame_rays(arrays, scene.h, scene.w, f))

@@ -164,10 +164,12 @@ class EndoNeRFTrainer(Trainer):
         from endosurf_tpu.evaluation.render_eval import eval_frames
         # The reference EndoNeRF eval renders ALL test frames
         # (trainer_endonerf.py:157).
+        eval_cfg = self.train_cfg.get("eval", {})
         stats = eval_frames(
             self, self.scene.list_test, step,
-            ray_chunk=self.train_cfg.get("eval", {}).get("ray_batch", 2048),
-            save_dir_name="eval")
+            ray_chunk=eval_cfg.get("ray_batch", 2048),
+            save_dir_name="eval",
+            chunks_per_call=eval_cfg.get("chunks_per_call", 0))
         if self.writer is not None:
             self.writer.add_scalars("eval", stats, step)
         return stats

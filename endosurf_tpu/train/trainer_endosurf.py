@@ -255,10 +255,12 @@ class EndoSurfTrainer(Trainer):
     def eval(self, step: int) -> Dict[str, float]:
         from endosurf_tpu.evaluation.render_eval import eval_frames
         list_test = self.scene.list_test[:1]  # reference eval: first frame
+        eval_cfg = self.train_cfg.get("eval", {})
         stats = eval_frames(
             self, list_test, step,
-            ray_chunk=self.train_cfg.get("eval", {}).get("ray_chunk", 2048),
-            save_dir_name="eval")
+            ray_chunk=eval_cfg.get("ray_chunk", 2048),
+            save_dir_name="eval",
+            chunks_per_call=eval_cfg.get("chunks_per_call", 0))
         if self.writer is not None:
             self.writer.add_scalars("eval", stats, step)
         return stats

@@ -148,3 +148,33 @@ def test_make_virtual_camera_tool(tmp_path, tmp_path_factory):
     u = c[0] / c[2] * K[0, 0] + K[0, 2]
     v = c[1] / c[2] * K[1, 1] + K[1, 2]
     assert 0 <= u < w and 0 <= v < h
+
+
+def test_render_full_frames_chunks_per_call(tmp_path, tmp_path_factory):
+    """Folding chunks into one dispatch (lax.map) is bit-identical to the
+    per-chunk loop, including the non-grouped remainder chunks."""
+    from endosurf_tpu.evaluation.render_eval import render_full_frames
+
+    d = tmp_path_factory.mktemp("cpc_scene")
+    pkl = make_synthetic_scene(str(d), n_frames=2, h=20, w=24)
+    scene = SceneData.load(pkl)
+    cfg = tiny_cfg(str(tmp_path), n_iter=2)
+    trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
+
+    arrays = scene.device_arrays
+    kw = dict(ray_chunk=64, ray_transform=None)
+    # 480 rays -> 8 padded chunks: cpc=3 exercises grouped (6 chunks in 2
+    # mapped calls) + remainder (2 single-chunk calls); cpc=4 is exact.
+    ref = render_full_frames(trainer.render_fn(), trainer.params, arrays,
+                             scene.h, scene.w, [0, 1], 1,
+                             chunks_per_call=1, **kw)
+    for cpc in (3, 4):
+        got = render_full_frames(trainer.render_fn(), trainer.params,
+                                 arrays, scene.h, scene.w, [0, 1], 1,
+                                 chunks_per_call=cpc, **kw)
+        assert set(got) == set(ref)
+        for k in ref:
+            # Not bit-equal: XLA fuses the lax.map body differently from
+            # the standalone chunk program (CPU oneDNN reductions).
+            np.testing.assert_allclose(got[k], ref[k], rtol=2e-5,
+                                       atol=2e-6, err_msg=k)

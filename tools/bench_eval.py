@@ -28,6 +28,13 @@ def main():
     ap.add_argument("--precision", default="default")
     ap.add_argument("--limit", type=int, default=0,
                     help="cap rays per frame-equivalent (CPU smoke tests)")
+    ap.add_argument("--chunks-per-call", type=int, nargs="+", default=[1],
+                    help="fold N chunks into one dispatch via lax.map "
+                         "(amortizes tunnel RTT; see render_eval)")
+    ap.add_argument("--megakernel", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="Pallas megakernel mode for the fwd field eval "
+                         "(the fwd-only serving path may prefer XLA)")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +49,8 @@ def main():
 
     set_matmul_precision(args.precision)
     set_sampling_precision("default")
+    from endosurf_tpu.models.fields import set_megakernel_mode
+    set_megakernel_mode(args.megakernel)
 
     scene = make_synthetic_arrays(n_frames=8, h=512, w=640)
     spec, rspec = EndoSurfSpec(), RenderSpec()
@@ -58,25 +67,45 @@ def main():
     if args.limit:
         all_rays = all_rays[:args.limit]
 
+    import jax.lax as lax
+
     for chunk in args.chunks:
-        n = (len(all_rays) // chunk) * chunk
-        rays = jnp.asarray(all_rays[:n]).reshape(-1, chunk, 9)
-        # Warmup/compile, then timed passes over args.frames frame-equivalents.
-        out = render(params, rays[0])
-        float(np.asarray(out["color_map"])[0, 0])
-        t0 = time.perf_counter()
-        done = 0
-        for _ in range(args.frames):
-            for i in range(rays.shape[0]):
-                out = render(params, rays[i])
-                done += chunk
-        float(np.asarray(out["color_map"])[0, 0])  # fence (CLAUDE.md)
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "metric": "endosurf_eval_rays_per_sec", "ray_chunk": chunk,
-            "value": round(done / dt, 1), "unit": "rays/s",
-            "precision": args.precision,
-        }), flush=True)
+        for cpc in args.chunks_per_call:
+            n = (len(all_rays) // (chunk * cpc)) * chunk * cpc
+            if n == 0:
+                continue
+            rays = jnp.asarray(all_rays[:n]).reshape(-1, cpc, chunk, 9)
+
+            if cpc == 1:
+                def call(group):
+                    return render(params, group[0])
+            else:
+                @jax.jit
+                def render_many(params, group):
+                    return lax.map(lambda r: render(params, r), group)
+
+                def call(group):
+                    return render_many(params, group)
+
+            # Warmup/compile, then timed passes over args.frames
+            # frame-equivalents.
+            out = call(rays[0])
+            float(np.asarray(out["color_map"]).ravel()[0])
+            t0 = time.perf_counter()
+            done = 0
+            for _ in range(args.frames):
+                for i in range(rays.shape[0]):
+                    out = call(rays[i])
+                    done += chunk * cpc
+            float(np.asarray(out["color_map"]).ravel()[0])  # fence
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "endosurf_eval_rays_per_sec", "ray_chunk": chunk,
+                "chunks_per_call": cpc,
+                "value": round(done / dt, 1), "unit": "rays/s",
+                "precision": args.precision,
+                "megakernel": args.megakernel,
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -32,8 +32,11 @@ if [ ! -f logs/profile_mk_done.marker ]; then
 fi
 if [ ! -f logs/bench_eval_done.marker ]; then
   wait_tunnel
-  echo "=== bench_eval $(date) ===" >> "$LOG"
-  timeout 5400 python tools/bench_eval.py >> "$LOG" 2>&1 \
+  echo "=== bench_eval sweep (cpc x megakernel) $(date) ===" >> "$LOG"
+  timeout 5400 python tools/bench_eval.py --chunks 2048 4096 \
+    --chunks-per-call 1 8 32 --megakernel auto >> "$LOG" 2>&1 \
+    && timeout 5400 python tools/bench_eval.py --chunks 2048 4096 \
+    --chunks-per-call 1 8 --megakernel off >> "$LOG" 2>&1 \
     && touch logs/bench_eval_done.marker
 fi
 echo "=== queue2 done $(date) ===" >> "$LOG"
