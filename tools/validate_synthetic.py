@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--mc-res", type=int, default=96)
     ap.add_argument("--i-eval", type=int, default=0,
                     help="mid-training eval cadence (reference: 20000)")
+    ap.add_argument("--steps-per-call", type=int, default=5,
+                    help="optimizer steps per device dispatch (lax.scan "
+                         "window; bit-equivalent to K=1). K=20 keeps a "
+                         "single-process 100k run under ~5k dispatches "
+                         "(the tunnel's observed wedge threshold).")
     # Deform-capacity sweep knobs (EndoSurf only): vary the deform net
     # against the reference architecture (9x256, 6 time octaves, shared LR
     # — endosurf.py:692-738 / base_pull.yml net.deform_network).
@@ -92,10 +97,10 @@ def main():
                       "sampling_precision": args.sampling_precision,
                       "megakernel": args.megakernel,
                       "remat": False,
-                      # 5 optimizer steps per device dispatch: amortizes the
-                      # tunnel's dispatch latency (bit-equivalent to K=1;
-                      # tests/test_train_smoke.py).
-                      "steps_per_call": 5,
+                      # K optimizer steps per device dispatch: amortizes
+                      # the tunnel's dispatch latency (bit-equivalent to
+                      # K=1; tests/test_train_smoke.py).
+                      "steps_per_call": args.steps_per_call,
                       "optim": {"lr": 5e-4, "lr_alpha": 0.05,
                                 "warm_up_end": max(1, steps // 20)},
                       "eval": {"ray_chunk": 4096}},
@@ -132,7 +137,7 @@ def main():
                       "color_loss_weight": 1.0, "depth_loss_weight": 1.0,
                       "resume": True, "matmul_precision": args.precision,
                       "sampling_precision": args.sampling_precision,
-                      "steps_per_call": 5,
+                      "steps_per_call": args.steps_per_call,
                       "optim": {"lr": 5e-4, "lr_decay": 250},
                       "eval": {"ray_batch": 4096}},
             "net": {"use_deform": True, "raw_noise_std": 1.0},
@@ -188,6 +193,7 @@ def main():
         out["rays_per_sec"] = round(
             done_steps * cfg["train"]["ray_batch"] / train_s, 1)
     print(json.dumps(out), flush=True)
+    return out
 
 
 if __name__ == "__main__":
