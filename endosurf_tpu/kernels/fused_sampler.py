@@ -1,0 +1,546 @@
+"""Pallas TPU sampler megakernels: whole-loop SDF-guided upsampling and
+sphere-trace ray marching, each as ONE kernel dispatch per ray batch.
+
+Motivation (VALIDATION.md step attribution): the sampling stages cost
+~14 ms of the ~30 ms flagship train step — 4 upsample rounds (8.1 ms) and
+the 128-step ray march + secant (~6 ms) — and about half of the serving
+(eval render) path. Their SDF evaluations already ride the fused Pallas
+evaluator (kernels/fused_sdf.py), but every round still crosses the
+kernel/XLA boundary for the glue math (NeuS importance weights, inverse-CDF
+draws, sorted merges, argmin/secant logic), all of it lane-unfriendly
+small-tensor work. These kernels run the ENTIRE loop in VMEM:
+
+  * fused_upsample_z — replaces models/endosurf.py::upsample_z
+    (reference endosurf.py:85-110, 221-287): n_rounds x (SDF eval at new
+    samples -> importance weights -> deterministic inverse-CDF draws ->
+    sorted merge), emitting the final sorted z_vals.
+  * fused_ray_march — replaces models/endosurf.py::ray_march
+    (reference endosurf.py:344-449): 128-sample SDF scan, first
+    +- crossing selection, and 8 secant refinements, emitting
+    (depth, valid).
+
+Layout: rays live on the SUBLANE axis, samples on the LANE axis (one
+[R_block, 128] tile per quantity). TPU-hostile ops are reformulated:
+
+  * cumsum           -> one matmul with a constant triangular matrix
+  * cumprod          -> Hillis-Steele prefix product (7 shift-multiplies)
+  * lane shifts      -> matmuls with constant shift matrices (no relayouts)
+  * searchsorted     -> masked compare + lane-reduce (ops/pdf.py already
+                        uses this form; here it stays in VMEM)
+  * gather           -> one-hot lane mask + lane-reduce
+  * sorted merge     -> 6-stage bitonic MERGE network: the running z list
+                        is ascending with +BIG sentinels on top, the k new
+                        samples are written REVERSED into the top lanes
+                        (ascending ++ BIG ++ descending == bitonic), then
+                        compare-exchange stages d = 32..1 sort 64 lanes.
+                        sdf values ride along via the exchange decisions.
+
+The per-sample SDF evaluations reuse kernels/fused_sdf.py's in-kernel
+evaluator: sample columns are lifted to a [C, R, 128] (x, t) buffer by a
+rank-3 broadcast (x = o + z * d_z), the leading dims merge into sublanes
+(relayout-free), and the chain runs as [C*R, 128] @ [128, 256] matmuls.
+
+Tie-breaking note: merge_sorted_z (argsort, stable) and the bitonic
+network order EQUAL z values differently; both keep (z, sdf) pairs
+consistent, so downstream section math only differs on measure-zero
+inputs.
+
+Both kernels are forward-only by design — every consumer runs under
+stop_gradient (models/endosurf.py render_rays / surface_neighbour_error).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from endosurf_tpu.kernels.fused_sdf import (
+    build_sdf_eval_operands,
+    eval_sdf_inline,
+)
+from endosurf_tpu.models.fields import EndoSurfSpec
+
+BLOCK_R = 256          # rays per grid step
+EVAL_CHUNK = 8         # sample lanes evaluated per in-kernel MLP pass
+BIG = 1.0e9            # +inf stand-in for unfilled sample lanes
+LANES = 128
+
+_MODE = "auto"         # auto | on | off (set_sampler_kernel_mode)
+_MIN_RAYS = 256
+
+
+def set_sampler_kernel_mode(mode: str) -> None:
+    global _MODE
+    assert mode in ("auto", "on", "off")
+    _MODE = mode
+
+
+def upsample_shape_supported(n0: int, n_importance: int,
+                             n_rounds: int) -> bool:
+    """The in-kernel merge covers <= 64 samples with <= 8 new per round."""
+    if n_rounds <= 0 or n_importance % n_rounds != 0:
+        return False
+    k = n_importance // n_rounds
+    return 0 < k <= 8 and n0 + n_importance <= 64
+
+
+def sampler_kernel_available(n_rays: int) -> bool:
+    if _MODE == "off":
+        return False
+    if _MODE == "on":
+        return True
+    if n_rays < _MIN_RAYS:
+        return False
+    from endosurf_tpu.parallel.mesh import mesh_active
+    if mesh_active():
+        # pallas_call has no GSPMD partitioning rule (parallel/mesh.py);
+        # mesh runs keep the jnp path (sharded by the partitioner).
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# constant operands
+# ---------------------------------------------------------------------------
+
+_BITONIC_DS = (32, 16, 8, 4, 2, 1)
+_SCAN_DS = (1, 2, 4, 8, 16, 32, 64)
+
+
+@functools.lru_cache(maxsize=None)
+def _np_consts() -> Dict[str, np.ndarray]:
+    n = LANES
+    # y = x @ tri -> y[:, j] = sum_{k <= j} x[:, k]  (inclusive prefix sum)
+    tri = np.triu(np.ones((n, n), np.float32))             # tri[k, j]=1, k<=j
+    # y = x @ shl_d  -> y[:, j] = x[:, j + d]  (zeros shifted in)
+    shl = {d: np.eye(n, n, -d, dtype=np.float32) for d in _BITONIC_DS}
+    # y = x @ shr_d  -> y[:, j] = x[:, j - d]
+    shr = {d: np.eye(n, n, d, dtype=np.float32) for d in _SCAN_DS}
+    iota = np.arange(n, dtype=np.float32)[None, :]
+    lin = (iota / (n - 1)).astype(np.float32)
+    arange_rev = np.arange(n, 0, -1, dtype=np.float32)[None, :]
+    misc = [iota, lin, arange_rev]
+    for d in _BITONIC_DS[::-1]:                            # rows 3.. d=1,2,..32
+        misc.append(((np.arange(n) % (2 * d)) < d).astype(np.float32)[None])
+    return {"tri": tri, "shl": shl, "shr": shr,
+            "misc": np.concatenate(misc, axis=0)}          # [9, 128]
+
+
+def _matrix_operands() -> List[jnp.ndarray]:
+    c = _np_consts()
+    mats = [jnp.asarray(c["tri"])]
+    mats += [jnp.asarray(c["shl"][d]) for d in _BITONIC_DS]
+    mats += [jnp.asarray(c["shr"][d]) for d in _SCAN_DS]
+    mats.append(jnp.asarray(c["misc"]))
+    return mats
+
+
+def _unpack_matrices(vals: Sequence[jnp.ndarray]):
+    tri = vals[0]
+    shl = dict(zip(_BITONIC_DS, vals[1:1 + len(_BITONIC_DS)]))
+    off = 1 + len(_BITONIC_DS)
+    shr = dict(zip(_SCAN_DS, vals[off:off + len(_SCAN_DS)]))
+    misc = vals[off + len(_SCAN_DS)]
+    return tri, shl, shr, misc
+
+
+def _mm(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, m, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers (operate on loaded VMEM values)
+# ---------------------------------------------------------------------------
+
+def _lane_extract(x: jnp.ndarray, iota: jnp.ndarray, k) -> jnp.ndarray:
+    """[R, 128] -> [R, 1]: value at lane k (k: python int or [R, 1])."""
+    return jnp.sum(jnp.where(iota == k, x, 0.0), axis=-1, keepdims=True)
+
+
+def _eval_lanes(spec, n_deform, compute_dtype, consts, layers,
+                o3, d3, z_cols: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """SDF at per-ray depths. z_cols: C x [R, 1] -> C x [R, 1] sdf columns.
+
+    Builds the (x, t) buffer by rank-3 broadcast (x = o + z * d_z; lane 3
+    carries t via o3 and d3's zero lane), merges [C, R, 128] -> [C*R, 128]
+    (relayout-free leading-dim fold), and runs one fused MLP chain.
+    """
+    cc = len(z_cols)
+    r = o3.shape[0]
+    z3 = jnp.stack(z_cols, axis=0)                      # [C, R, 1]
+    xt3 = o3[None, :, :] + z3 * d3[None, :, :]          # [C, R, 128]
+    xt = xt3.reshape(cc * r, LANES)
+    sdf = eval_sdf_inline(spec, n_deform, compute_dtype, xt, consts, layers)
+    sdf3 = sdf.reshape(cc, r, 1)
+    return [sdf3[i] for i in range(cc)]
+
+
+def _cols_to_lanes(cols: List[jnp.ndarray], lanes: Sequence[int],
+                   iota: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+    """Write [R, 1] columns into the given lanes of ``base`` [R, 128]."""
+    out = base
+    for col, lane in zip(cols, lanes):
+        out = jnp.where(iota == lane, col, out)
+    return out
+
+
+def _prefix_prod(x: jnp.ndarray, shr, iota) -> jnp.ndarray:
+    """Inclusive prefix product along lanes (Hillis-Steele, 7 steps)."""
+    p = x
+    for d in _SCAN_DS:
+        pd = jnp.where(iota >= d, _mm(p, shr[d]), 1.0)
+        p = p * pd
+    return p
+
+
+def _bitonic_merge_64(z, sdf, shl, shr, misc):
+    """Sort lanes 0..63 of ``z`` (and co-move ``sdf``) given the bitonic
+    precondition (ascending reals ++ BIG ++ descending new). Stages run on
+    all 128 lanes; the upper constant-BIG block is invariant."""
+    for si, d in enumerate(_BITONIC_DS):
+        fh = misc[3 + int(math.log2(d)):4 + int(math.log2(d)), :] == 1.0
+        partner = jnp.where(fh, _mm(z, shl[d]), _mm(z, shr[d]))
+        took = jnp.where(fh, partner < z, partner > z)
+        if sdf is not None:
+            partner_s = jnp.where(fh, _mm(sdf, shl[d]), _mm(sdf, shr[d]))
+            sdf = jnp.where(took, partner_s, sdf)
+        z = jnp.where(took, partner, z)
+    return z, sdf
+
+
+# ---------------------------------------------------------------------------
+# upsample kernel
+# ---------------------------------------------------------------------------
+
+def _upsample_round(spec, n_deform, compute_dtype, consts, layers,
+                    tri, shl, shr, misc, o3, d3, a, b, c,
+                    z, sdf, s_cur: int, k_new: int, inv_s: float,
+                    last: bool):
+    iota = misc[0:1, :]
+    valid_pair = iota < float(s_cur - 1)
+
+    # radius at each sample: |o + z d|^2 = a + 2 b z + c z^2 (per-ray a,b,c)
+    radius = jnp.sqrt(jnp.maximum(a + 2.0 * b * z + c * z * z, 0.0))
+
+    z_next = _mm(z, shl[1])
+    sdf_next = _mm(sdf, shl[1])
+    rad_next = _mm(radius, shl[1])
+
+    # upsample_weights_from_sdf (ops/neus.py; reference endosurf.py:221-266)
+    mid_sdf = 0.5 * (sdf + sdf_next)
+    cos_val = (sdf_next - sdf) / (z_next - z + 1e-6)
+    prev_cos = jnp.where(iota >= 1,
+                         _mm(jnp.where(valid_pair, cos_val, 0.0), shr[1]),
+                         0.0)
+    cos_val = jnp.minimum(cos_val, prev_cos)
+    inside = (radius < 1.0) | (rad_next < 1.0)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside.astype(z.dtype)
+    dist = z_next - z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-6) / (prev_cdf + 1e-6)
+    alpha = jnp.where(valid_pair, alpha, 0.0)
+    trans = _prefix_prod(jnp.where(valid_pair, 1.0 - alpha + 1e-7, 1.0),
+                         shr, iota)
+    trans_excl = jnp.where(iota >= 1, _mm(trans, shr[1]), 1.0)
+    weights = alpha * trans_excl
+
+    # sample_pdf, deterministic midpoint u (ops/pdf.py; key=None path)
+    w = jnp.where(valid_pair, weights + 1e-5, 0.0)
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.where(iota >= 1, _mm(_mm(pdf, tri), shr[1]), 0.0)
+    on_bins = iota < float(s_cur)
+    cdf_s = jnp.where(on_bins, cdf, 2.0)           # sentinel > any u
+    new_z_cols: List[jnp.ndarray] = []
+    for j in range(k_new):
+        u = (j + 0.5) / k_new
+        inds = jnp.sum((cdf_s <= u).astype(z.dtype), axis=-1, keepdims=True)
+        below = jnp.maximum(inds - 1.0, 0.0)
+        above = jnp.minimum(inds, float(s_cur - 1))
+        cdf_b = _lane_extract(cdf, iota, below)
+        cdf_a = _lane_extract(cdf, iota, above)
+        z_b = _lane_extract(z, iota, below)
+        z_a = _lane_extract(z, iota, above)
+        denom = cdf_a - cdf_b
+        denom = jnp.where(denom < 1e-5, 1.0, denom)
+        tt = (u - cdf_b) / denom
+        new_z_cols.append(z_b + tt * (z_a - z_b))
+
+    if not last:
+        new_sdf_cols = _eval_lanes(spec, n_deform, compute_dtype, consts,
+                                   layers, o3, d3, new_z_cols)
+    else:
+        new_sdf_cols = None
+
+    # Bitonic placement: reversed new samples into the top lanes 56..63 of
+    # the 64-lane merge window (always BIG there since s_cur <= 56).
+    lanes = [63 - j for j in range(k_new)]
+    z = _cols_to_lanes(new_z_cols, lanes, iota, z)
+    if not last:
+        sdf = _cols_to_lanes(new_sdf_cols, lanes, iota, sdf)
+        z, sdf = _bitonic_merge_64(z, sdf, shl, shr, misc)
+    else:
+        z, _ = _bitonic_merge_64(z, None, shl, shr, misc)
+    return z, sdf
+
+
+def _upsample_kernel(spec, rspec_tuple, n_deform, compute_dtype,
+                     o3_ref, d3_ref, rc_ref, z0_ref, *refs):
+    n0, k_new, n_rounds = rspec_tuple
+    out_ref = refs[-1]
+    consts = tuple(r[...] for r in refs[:4])
+    n_mat = 1 + len(_BITONIC_DS) + len(_SCAN_DS) + 1
+    flat = refs[4:-(1 + n_mat)]
+    layers = [(flat[2 * i][...], flat[2 * i + 1][...])
+              for i in range(len(flat) // 2)]
+    tri, shl, shr, misc = _unpack_matrices(
+        [r[...] for r in refs[-(1 + n_mat):-1]])
+    iota = misc[0:1, :]
+
+    o3 = o3_ref[...]
+    d3 = d3_ref[...]
+    rc = rc_ref[...]
+    z = z0_ref[...]
+    a = _lane_extract(rc, iota, 0)
+    b = _lane_extract(rc, iota, 1)
+    c = _lane_extract(rc, iota, 2)
+
+    # Initial SDF at the n0 stratified samples, EVAL_CHUNK lanes at a time.
+    sdf = jnp.zeros_like(z)
+    for start in range(0, n0, EVAL_CHUNK):
+        lanes = list(range(start, min(start + EVAL_CHUNK, n0)))
+        z_cols = [_lane_extract(z, iota, s) for s in lanes]
+        sdf_cols = _eval_lanes(spec, n_deform, compute_dtype, consts,
+                               layers, o3, d3, z_cols)
+        sdf = _cols_to_lanes(sdf_cols, lanes, iota, sdf)
+
+    for i in range(n_rounds):
+        z, sdf = _upsample_round(
+            spec, n_deform, compute_dtype, consts, layers,
+            tri, shl, shr, misc, o3, d3, a, b, c,
+            z, sdf, n0 + i * k_new, k_new, 64.0 * 2 ** i,
+            last=(i + 1 == n_rounds))
+    out_ref[...] = z
+
+
+def _ray_buffers(rays_o, rays_d_z, t):
+    """[R, 128] (o, t) / (d_z, 0) / radius-coefficient buffers."""
+    n = rays_o.shape[0]
+    zeros = jnp.zeros((n, LANES - 4), rays_o.dtype)
+    o3 = jnp.concatenate([rays_o, t, zeros], axis=-1)
+    d3 = jnp.concatenate(
+        [rays_d_z, jnp.zeros((n, 1), rays_o.dtype), zeros], axis=-1)
+    rc = jnp.concatenate(
+        [jnp.sum(rays_o * rays_o, -1, keepdims=True),
+         jnp.sum(rays_o * rays_d_z, -1, keepdims=True),
+         jnp.sum(rays_d_z * rays_d_z, -1, keepdims=True),
+         jnp.zeros((n, LANES - 3), rays_o.dtype)], axis=-1)
+    return o3, d3, rc
+
+
+def _pad_rows(x: jnp.ndarray, n_total: int) -> jnp.ndarray:
+    pad = n_total - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def _const_specs(arrays):
+    return [pl.BlockSpec(a.shape,
+                         (lambda i: (0, 0)) if a.ndim == 2 else
+                         (lambda i: (0,)),
+                         memory_space=pltpu.VMEM) for a in arrays]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "n_importance", "n_rounds", "compute_dtype", "interpret"))
+def fused_upsample_z(spec: EndoSurfSpec, params: Dict[str, Any],
+                     rays_o: jnp.ndarray, rays_d_z: jnp.ndarray,
+                     t: jnp.ndarray, z_vals: jnp.ndarray,
+                     n_importance: int, n_rounds: int,
+                     compute_dtype=jnp.float32,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Whole-loop replacement for models/endosurf.py::upsample_z.
+
+    Args:
+      rays_o / rays_d_z: [R, 3]; t: [R, 1]; z_vals: [R, n0] stratified
+        (ascending). Returns z [R, n0 + n_importance] sorted ascending.
+    """
+    n = rays_o.shape[0]
+    n0 = z_vals.shape[1]
+    assert upsample_shape_supported(n0, n_importance, n_rounds), (
+        n0, n_importance, n_rounds)
+    k_new = n_importance // n_rounds
+
+    block_r = min(BLOCK_R, max(8, 1 << (n - 1).bit_length()))
+    n_total = ((n + block_r - 1) // block_r) * block_r
+
+    o3, d3, rc = _ray_buffers(rays_o.astype(jnp.float32),
+                              rays_d_z.astype(jnp.float32),
+                              t.astype(jnp.float32))
+    z0 = jnp.concatenate(
+        [z_vals.astype(jnp.float32),
+         jnp.full((n, LANES - n0), BIG, jnp.float32)], axis=-1)
+    o3, d3, rc, z0 = (_pad_rows(x, n_total) for x in (o3, d3, rc, z0))
+
+    const_arrays, layer_arrays, n_deform = build_sdf_eval_operands(
+        spec, params, compute_dtype)
+    mats = _matrix_operands()
+
+    grid = (n_total // block_r,)
+    row_spec = pl.BlockSpec((block_r, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = ([row_spec] * 4
+                + _const_specs(const_arrays + layer_arrays + mats))
+    out = pl.pallas_call(
+        functools.partial(_upsample_kernel, spec, (n0, k_new, n_rounds),
+                          n_deform, compute_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_r, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_total, LANES), jnp.float32),
+        interpret=interpret,
+    )(o3, d3, rc, z0, *const_arrays, *layer_arrays, *mats)
+    return out[:n, :n0 + n_importance]
+
+
+# ---------------------------------------------------------------------------
+# ray-march kernel
+# ---------------------------------------------------------------------------
+
+def _march_kernel(spec, cfg, n_deform, compute_dtype,
+                  o3_ref, d3_ref, nf_ref, *refs):
+    n_steps, n_secant, tau = cfg
+    depth_ref, valid_ref = refs[-2], refs[-1]
+    consts = tuple(r[...] for r in refs[:4])
+    n_mat = 1 + len(_BITONIC_DS) + len(_SCAN_DS) + 1
+    flat = refs[4:-(2 + n_mat)]
+    layers = [(flat[2 * i][...], flat[2 * i + 1][...])
+              for i in range(len(flat) // 2)]
+    _tri, _shl, shr, misc = _unpack_matrices(
+        [r[...] for r in refs[-(2 + n_mat):-2]])
+    iota = misc[0:1, :]
+    lin = misc[1:2, :]
+    arange_rev = misc[2:3, :]
+
+    o3 = o3_ref[...]
+    d3 = d3_ref[...]
+    nf = nf_ref[...]
+    near = _lane_extract(nf, iota, 0)
+    far = _lane_extract(nf, iota, 1)
+
+    # d_prop: n_steps linspace(near, far) on lanes (n_steps == LANES)
+    z = near * (1.0 - lin) + far * lin
+
+    sdf = jnp.zeros_like(z)
+    for start in range(0, n_steps, EVAL_CHUNK):
+        lanes = list(range(start, start + EVAL_CHUNK))
+        z_cols = [_lane_extract(z, iota, s) for s in lanes]
+        sdf_cols = _eval_lanes(spec, n_deform, compute_dtype, consts,
+                               layers, o3, d3, z_cols)
+        sdf = _cols_to_lanes(sdf_cols, lanes, iota, sdf)
+
+    # First +- crossing (reference endosurf.py:352-380; models/endosurf.py
+    # ray_march): cost = sign(val_i * val_{i+1}) * arange(S..1), argmin.
+    val = -(sdf - tau)
+    first_free = _lane_extract(val, iota, 0) < 0.0
+    val_next = _mm(val, _shl[1])
+    prod = val * val_next
+    sign = jnp.where(prod > 0, 1.0, jnp.where(prod < 0, -1.0, 0.0))
+    sign = jnp.where(iota == float(n_steps - 1), 1.0, sign)
+    cost = sign * arange_rev
+    cost_min = jnp.min(cost, axis=-1, keepdims=True)
+    idx = jnp.min(jnp.where(cost == cost_min, iota, float(LANES)),
+                  axis=-1, keepdims=True)
+    val_at = _lane_extract(val, iota, idx)
+    idx_hi = jnp.minimum(idx + 1.0, float(n_steps - 1))
+    d_low = _lane_extract(z, iota, idx)
+    d_high = _lane_extract(z, iota, idx_hi)
+    f_low = val_at
+    f_high = _lane_extract(val, iota, idx_hi)
+    valid = (cost_min < 0.0) & (val_at < 0.0) & first_free
+
+    d_pred = -f_low * (d_high - d_low) / (f_high - f_low + 1e-12) + d_low
+    for _ in range(n_secant):
+        xt = o3 + d_pred * d3
+        f_mid = -(eval_sdf_inline(spec, n_deform, compute_dtype, xt,
+                                  consts, layers) - tau)
+        low = f_mid < 0.0
+        d_low = jnp.where(low, d_pred, d_low)
+        f_low = jnp.where(low, f_mid, f_low)
+        d_high = jnp.where(low, d_high, d_pred)
+        f_high = jnp.where(low, f_high, f_mid)
+        d_pred = (-f_low * (d_high - d_low) / (f_high - f_low + 1e-12)
+                  + d_low)
+
+    depth_ref[...] = jnp.where(valid, d_pred, 0.5 * (near + far))
+    valid_ref[...] = valid.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "n_steps", "n_secant", "tau", "compute_dtype", "interpret"))
+def fused_ray_march(spec: EndoSurfSpec, params: Dict[str, Any],
+                    rays_o: jnp.ndarray, rays_d_z: jnp.ndarray,
+                    t: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
+                    tau: float = 0.0, n_steps: int = 128, n_secant: int = 8,
+                    compute_dtype=jnp.float32,
+                    interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-loop replacement for models/endosurf.py::ray_march.
+
+    near/far: [R, 1] from ops.geometry.ray_sphere_intersection (the caller
+    computes them exactly as the jnp path does).
+    Returns (depth [R, 1] f32, valid [R, 1] bool).
+    """
+    assert n_steps == LANES, "march kernel assumes 128 sample lanes"
+    n = rays_o.shape[0]
+    block_r = min(BLOCK_R, max(8, 1 << (n - 1).bit_length()))
+    n_total = ((n + block_r - 1) // block_r) * block_r
+
+    o3, d3, _rc = _ray_buffers(rays_o.astype(jnp.float32),
+                               rays_d_z.astype(jnp.float32),
+                               t.astype(jnp.float32))
+    nf = jnp.concatenate(
+        [near.astype(jnp.float32), far.astype(jnp.float32),
+         jnp.zeros((n, LANES - 2), jnp.float32)], axis=-1)
+    # Padding rays are all-zero (o=d=0, near=far=0): every kernel op on
+    # them stays finite and their outputs are sliced away.
+    o3, d3, nf = (_pad_rows(x, n_total) for x in (o3, d3, nf))
+
+    const_arrays, layer_arrays, n_deform = build_sdf_eval_operands(
+        spec, params, compute_dtype)
+    mats = _matrix_operands()
+
+    grid = (n_total // block_r,)
+    row_spec = pl.BlockSpec((block_r, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = ([row_spec] * 3
+                + _const_specs(const_arrays + layer_arrays + mats))
+    col_spec = pl.BlockSpec((block_r, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    depth, valid = pl.pallas_call(
+        functools.partial(_march_kernel, spec,
+                          (n_steps, n_secant, float(tau)),
+                          n_deform, compute_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(col_spec, col_spec),
+        out_shape=(jax.ShapeDtypeStruct((n_total, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_total, 1), jnp.float32)),
+        interpret=interpret,
+    )(o3, d3, nf, *const_arrays, *layer_arrays, *mats)
+    return depth[:n], valid[:n] > 0.5

@@ -163,22 +163,28 @@ def _run_mlp(h, x_enc, layers, skips, activation, skip_scale, compute_dtype):
     return h
 
 
-def _kernel(spec: EndoSurfSpec, n_deform: int, compute_dtype, xt_ref,
-            *refs):
-    out_ref = refs[-1]
-    s_deform_ref, kind_deform_ref, s_sdf_ref, kind_sdf_ref = refs[:4]
-    flat = refs[4:-1]
-    weights = [(flat[2 * i], flat[2 * i + 1]) for i in range(len(flat) // 2)]
-    deform_layers = [(w[...], b[...]) for w, b in weights[:n_deform]]
-    sdf_layers = [(w[...], b[...]) for w, b in weights[n_deform:]]
+def eval_sdf_inline(spec: EndoSurfSpec, n_deform: int, compute_dtype,
+                    xt: jnp.ndarray, consts, layers) -> jnp.ndarray:
+    """In-kernel fused deform+SDF evaluation on loaded VMEM values.
 
-    xt = xt_ref[...]                     # [B, 128]: (x, t) in lanes 0..3
+    Shared by this kernel and the sampler megakernels
+    (kernels/fused_sampler.py), which build their own [B, 128] (x, t)
+    buffers in-kernel and call this per chunk.
+
+    Args:
+      xt: [B, 128] values with (x0, x1, x2, t) in lanes 0..3.
+      consts: (s_deform, kind_deform [1, P], s_sdf, kind_sdf [1, P]) values.
+      layers: list of (w, b) values, deform layers first (n_deform of them).
+    Returns: sdf [B, 1] f32.
+    """
+    s_deform, kind_deform, s_sdf, kind_sdf = consts
+    deform_layers = layers[:n_deform]
+    sdf_layers = layers[n_deform:]
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
 
     if spec.use_deform:
-        v = jnp.dot(xt, s_deform_ref[...],
-                    preferred_element_type=jnp.float32)
-        enc = _apply_encoding(v, kind_deform_ref[...][:1, :])
+        v = jnp.dot(xt, s_deform, preferred_element_type=jnp.float32)
+        enc = _apply_encoding(v, kind_deform[:1, :])
         dx = _run_mlp(enc, enc, deform_layers, spec.deform.skips, "relu",
                       inv_sqrt2, compute_dtype)
         # x_c = x + dx, kept in the same padded [B, 128] (x, t) layout; the
@@ -188,36 +194,32 @@ def _kernel(spec: EndoSurfSpec, n_deform: int, compute_dtype, xt_ref,
     else:
         x_c_pad = xt
 
-    v_c = jnp.dot(x_c_pad, s_sdf_ref[...],
-                  preferred_element_type=jnp.float32)
-    enc_c = _apply_encoding(v_c, kind_sdf_ref[...][:1, :])
+    v_c = jnp.dot(x_c_pad, s_sdf, preferred_element_type=jnp.float32)
+    enc_c = _apply_encoding(v_c, kind_sdf[:1, :])
     h = _run_mlp(enc_c, enc_c, sdf_layers, spec.sdf.skips, "softplus100",
                  inv_sqrt2, compute_dtype)
-    out_ref[...] = h[:, :1]
+    return h[:, :1]
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "compute_dtype"))
-def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
-                       x: jnp.ndarray, t: jnp.ndarray,
-                       compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Drop-in forward-only replacement for fields.sdf_observed.
+def _kernel(spec: EndoSurfSpec, n_deform: int, compute_dtype, xt_ref,
+            *refs):
+    out_ref = refs[-1]
+    consts = tuple(r[...] for r in refs[:4])
+    flat = refs[4:-1]
+    layers = [(flat[2 * i][...], flat[2 * i + 1][...])
+              for i in range(len(flat) // 2)]
+    out_ref[...] = eval_sdf_inline(spec, n_deform, compute_dtype,
+                                   xt_ref[...], consts, layers)
 
-    Args:
-      x: [N, 3] observed points; t: [N, 1] times. N is padded internally to a
-        multiple of BLOCK_N.
-    Returns: sdf [N, 1].
+
+def build_sdf_eval_operands(spec: EndoSurfSpec, params: Dict[str, Any],
+                            compute_dtype):
+    """Selector/kind constants + padded effective layers for the fused eval.
+
+    Returns (const_arrays [4 jnp arrays], layer_arrays [flat w/b list],
+    n_deform). Shared by fused_sdf_observed and the sampler megakernels.
     """
     from endosurf_tpu.ops.encoding import freq_encode_dim
-
-    n = x.shape[0]
-    block_n = min(BLOCK_N, _round_up(n, 128))
-    n_pad = (-n) % block_n
-    # One lane-aligned [N, 128] input carrying (x0, x1, x2, t, 0...).
-    xt = jnp.concatenate(
-        [x, t, jnp.zeros((n, 124), x.dtype)], axis=-1)
-    if n_pad:
-        xt = jnp.concatenate([xt, jnp.zeros((n_pad, 128), xt.dtype)], 0)
-    n_total = xt.shape[0]
 
     def pad_layers(layers, in_dim, skips):
         """Insert zero weight rows so encoded-input widths hit 128 multiples.
@@ -275,6 +277,32 @@ def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
 
     const_arrays = [lift_rows(S_d), jnp.asarray(kind_d)[None, :],
                     lift_rows(S_s), jnp.asarray(kind_s)[None, :]]
+    return const_arrays, layer_arrays, n_deform
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "compute_dtype"))
+def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
+                       x: jnp.ndarray, t: jnp.ndarray,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Drop-in forward-only replacement for fields.sdf_observed.
+
+    Args:
+      x: [N, 3] observed points; t: [N, 1] times. N is padded internally to a
+        multiple of BLOCK_N.
+    Returns: sdf [N, 1].
+    """
+    n = x.shape[0]
+    block_n = min(BLOCK_N, _round_up(n, 128))
+    n_pad = (-n) % block_n
+    # One lane-aligned [N, 128] input carrying (x0, x1, x2, t, 0...).
+    xt = jnp.concatenate(
+        [x, t, jnp.zeros((n, 124), x.dtype)], axis=-1)
+    if n_pad:
+        xt = jnp.concatenate([xt, jnp.zeros((n_pad, 128), xt.dtype)], 0)
+    n_total = xt.shape[0]
+
+    const_arrays, layer_arrays, n_deform = build_sdf_eval_operands(
+        spec, params, compute_dtype)
 
     grid = (n_total // block_n,)
     in_specs = [

@@ -100,12 +100,39 @@ def _sdf_sampling(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
     """
     from endosurf_tpu.kernels.fused_sdf import (fused_sdf_available,
                                                 fused_sdf_observed)
-    from endosurf_tpu.ops.mlp import get_matmul_precision
     if fused_sdf_available(x.shape[0]):
-        dtype = (jnp.bfloat16 if get_matmul_precision() == "default"
-                 else jnp.float32)
-        return fused_sdf_observed(spec, params, x, t, compute_dtype=dtype)
+        return fused_sdf_observed(spec, params, x, t,
+                                  compute_dtype=_sampling_compute_dtype())
     return sdf_observed(spec, params, x, t)
+
+
+def _sampling_compute_dtype():
+    """MXU feed dtype for sampling-path kernels (must be called inside
+    sampling_precision_scope so the sampling precision is in effect)."""
+    from endosurf_tpu.ops.mlp import get_matmul_precision
+    return (jnp.bfloat16 if get_matmul_precision() == "default"
+            else jnp.float32)
+
+
+def _sampler_interpret() -> bool:
+    """Sampler kernels forced on (mode 'on') run interpreted off-TPU."""
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:
+        return True
+
+
+def _sampler_serves_upsample(n_rays: int, rspec) -> bool:
+    from endosurf_tpu.kernels.fused_sampler import (
+        sampler_kernel_available, upsample_shape_supported)
+    return (upsample_shape_supported(rspec.n_samples, rspec.n_importance,
+                                     rspec.up_sample_steps)
+            and sampler_kernel_available(n_rays))
+
+
+def _sampler_serves_march(n_rays: int) -> bool:
+    from endosurf_tpu.kernels.fused_sampler import sampler_kernel_available
+    return sampler_kernel_available(n_rays)
 
 
 def _stratified_z(near: jnp.ndarray, far: jnp.ndarray, n_samples: int,
@@ -246,11 +273,22 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
 
     if use_importance and rspec.n_importance > 0:
         # Sampling-only: picks z locations under stop_gradient, so it runs at
-        # the (usually lower) sampling matmul precision — see ops/mlp.py.
+        # the (usually lower) sampling matmul precision — see ops/mlp.py. On
+        # TPU the whole loop runs as ONE Pallas kernel (fused_sampler.py).
         with sampling_precision_scope():
-            z_vals = jax.lax.stop_gradient(
-                upsample_z(spec, rspec, jax.lax.stop_gradient(params),
-                           rays_o, rays_d_z, t, z_vals))
+            sg_params = jax.lax.stop_gradient(params)
+            if _sampler_serves_upsample(rays.shape[0], rspec):
+                from endosurf_tpu.kernels.fused_sampler import \
+                    fused_upsample_z
+                z_vals = jax.lax.stop_gradient(fused_upsample_z(
+                    spec, sg_params, rays_o, rays_d_z, t, z_vals,
+                    rspec.n_importance, rspec.up_sample_steps,
+                    compute_dtype=_sampling_compute_dtype(),
+                    interpret=_sampler_interpret()))
+            else:
+                z_vals = jax.lax.stop_gradient(
+                    upsample_z(spec, rspec, sg_params,
+                               rays_o, rays_d_z, t, z_vals))
 
     return render_core(spec, params, rays, z_vals, sample_dist, anneal,
                        remat=remat)
@@ -356,10 +394,19 @@ def surface_neighbour_error(spec: EndoSurfSpec, params: Params,
     (endosurf.py:319-342), as a fixed-shape masked mean."""
     rays_o, rays_d, rays_d_z, t = _split_rays(rays)
     # Sampling-only: the sphere trace just localizes the surface depth under
-    # stop_gradient; run it at the sampling matmul precision.
+    # stop_gradient; run it at the sampling matmul precision (as one Pallas
+    # kernel on TPU — fused_sampler.py).
     with sampling_precision_scope():
-        d_surf, valid = ray_march(
-            spec, jax.lax.stop_gradient(params), rays)
+        sg_params = jax.lax.stop_gradient(params)
+        if _sampler_serves_march(rays.shape[0]):
+            from endosurf_tpu.kernels.fused_sampler import fused_ray_march
+            near, far, _ = ray_sphere_intersection(rays_o, rays_d)
+            d_surf, valid = fused_ray_march(
+                spec, sg_params, rays_o, rays_d_z, t, near, far,
+                compute_dtype=_sampling_compute_dtype(),
+                interpret=_sampler_interpret())
+        else:
+            d_surf, valid = ray_march(spec, sg_params, rays)
     d_surf = jax.lax.stop_gradient(d_surf)
     valid = jax.lax.stop_gradient(valid) & (mask == 1)
 

@@ -172,6 +172,12 @@ class EndoSurfTrainer(Trainer):
         # activation_dtype knobs above only govern the non-kernel path.
         from endosurf_tpu.models.fields import set_megakernel_mode
         set_megakernel_mode(self.train_cfg.get("megakernel", "auto"))
+        # Sampler megakernels: whole-loop Pallas upsampling + ray march
+        # (kernels/fused_sampler.py). Same mode contract as the megakernel;
+        # "auto" engages on TPU at >=256-ray batches.
+        from endosurf_tpu.kernels.fused_sampler import \
+            set_sampler_kernel_mode
+        set_sampler_kernel_mode(self.train_cfg.get("sampler_kernel", "auto"))
 
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)

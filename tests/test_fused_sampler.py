@@ -1,0 +1,116 @@
+"""Parity tests for the Pallas sampler megakernels (kernels/fused_sampler).
+
+Run in interpret mode on CPU: the kernels must reproduce the jnp sampling
+stack (models/endosurf.py upsample_z / ray_march) — same math, same
+deterministic inverse-CDF draws, same crossing selection — to float32
+tolerance. Tie-breaking inside the sorted merge may differ on exactly-equal
+z values (bitonic network vs stable argsort), a measure-zero event for the
+random inputs used here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from endosurf_tpu.kernels import fused_sampler as fs
+from endosurf_tpu.models.endosurf import (
+    RenderSpec,
+    _split_rays,
+    _stratified_z,
+    ray_march,
+    render_rays,
+    upsample_z,
+)
+from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
+from endosurf_tpu.ops.geometry import ray_sphere_intersection
+from endosurf_tpu.ops.mlp import set_matmul_precision
+
+
+@pytest.fixture(scope="module")
+def setup():
+    set_matmul_precision("highest")
+    spec = EndoSurfSpec()
+    params = init_endosurf_params(jax.random.PRNGKey(0), spec)
+    n = 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    o = jnp.concatenate(
+        [jax.random.uniform(k1, (n, 2), minval=-0.3, maxval=0.3),
+         jnp.full((n, 1), -1.5)], axis=-1)
+    target = jax.random.uniform(k2, (n, 3), minval=-0.2, maxval=0.2)
+    d = target - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jax.random.uniform(k3, (n, 1))
+    rays = jnp.concatenate(
+        [o, d, jnp.zeros((n, 2), o.dtype), t], axis=-1)
+    yield spec, params, rays
+    set_matmul_precision("highest")
+
+
+def test_upsample_parity(setup):
+    spec, params, rays = setup
+    rspec = RenderSpec()
+    rays_o, _rays_d, rays_d_z, t = _split_rays(rays)
+    near, far, _ = ray_sphere_intersection(rays_o, _rays_d)
+    z0 = _stratified_z(near, far, rspec.n_samples, None)
+
+    ref = np.asarray(upsample_z(spec, rspec, params, rays_o, rays_d_z, t,
+                                z0))
+    got = np.asarray(fs.fused_upsample_z(
+        spec, params, rays_o, rays_d_z, t, z0, rspec.n_importance,
+        rspec.up_sample_steps, compute_dtype=jnp.float32, interpret=True))
+    assert got.shape == (rays.shape[0], rspec.n_samples + rspec.n_importance)
+    # Final z lists must be ascending and match the jnp stack.
+    assert np.all(np.diff(got, axis=-1) >= 0)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_ray_march_parity(setup):
+    spec, params, rays = setup
+    rays_o, rays_d, rays_d_z, t = _split_rays(rays)
+    near, far, _ = ray_sphere_intersection(rays_o, rays_d)
+
+    d_ref, v_ref = ray_march(spec, params, rays)
+    d_got, v_got = fs.fused_ray_march(
+        spec, params, rays_o, rays_d_z, t, near, far,
+        compute_dtype=jnp.float32, interpret=True)
+    v_ref, v_got = np.asarray(v_ref), np.asarray(v_got)
+    assert v_ref.sum() > rays.shape[0] // 2, "test scene should hit surface"
+    np.testing.assert_array_equal(v_got, v_ref)
+    np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_ref),
+                               atol=2e-5)
+
+
+def test_render_rays_dispatch_parity(setup):
+    """render_rays with the sampler kernels forced on (interpreted) matches
+    the jnp path end-to-end (same z_vals -> same rendered maps)."""
+    spec, params, rays = setup
+    rspec = RenderSpec(perturb=False, anneal_end=0.0)
+    step = jnp.asarray(1000.0)
+    try:
+        fs.set_sampler_kernel_mode("off")
+        ref = render_rays(spec, rspec, params, rays, step)
+        fs.set_sampler_kernel_mode("on")
+        got = render_rays(spec, rspec, params, rays, step)
+    finally:
+        fs.set_sampler_kernel_mode("auto")
+    np.testing.assert_allclose(np.asarray(got["color_map"]),
+                               np.asarray(ref["color_map"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["depth_map"]),
+                               np.asarray(ref["depth_map"]), atol=1e-4)
+
+
+def test_upsample_shape_gate():
+    assert fs.upsample_shape_supported(32, 32, 4)
+    assert not fs.upsample_shape_supported(64, 64, 4)   # > 64 total
+    assert not fs.upsample_shape_supported(32, 32, 2)   # 16 new per round
+    assert not fs.upsample_shape_supported(32, 30, 4)   # not divisible
+
+
+def test_availability_gate_off_cpu():
+    # mode "auto" never engages off-TPU; "on" forces (interpret path).
+    fs.set_sampler_kernel_mode("auto")
+    assert not fs.sampler_kernel_available(1024)
+    fs.set_sampler_kernel_mode("on")
+    assert fs.sampler_kernel_available(8)
+    fs.set_sampler_kernel_mode("auto")

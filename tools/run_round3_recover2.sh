@@ -1,16 +1,10 @@
 #!/bin/bash
-# Round-3 recovery master (fresh machine: the round-2 logs/ tree, 100k
-# checkpoint, and XLA cache were wiped with the host). Regenerates the
-# round-3 evidence with as FEW process exits as possible (each exit wedges
-# the tunnel 10-45 min; CLAUDE.md):
-#   A. 100k "high"-precision control — ONE process (K=20 => ~5k dispatches)
-#   B. deform-capacity sweep + EndoNeRF 8k — ONE process (in-process driver)
-#   C. res-128/256 demos vs the stage-A checkpoint — ONE process
-#   D. bench_eval + profile + bench refresh
+# Follower master: stage A (100k-high) is already running as an orphan
+# process. Wait for it to finish (done JSON or process exit), then run the
+# remaining stages exactly like run_round3_recover.sh.
 set -u
 cd /root/repo
 LOG=logs/r3_recover.log
-mkdir -p logs/r3_results
 
 probe() {
   timeout 240 python -c "
@@ -28,26 +22,29 @@ wait_tunnel() {
   return 1
 }
 
-echo "=== recover start $(date) ===" >> "$LOG"
+echo "=== follower start $(date) ===" >> "$LOG"
 
-# --- stage A: 100k high control, single process --------------------------
+# --- stage A: wait for the in-flight run; resume it if it died early -----
 if [ ! -f logs/r3_results/es100k_high.json ]; then
-  for i in $(seq 1 8); do
-    wait_tunnel
-    echo "=== es100k_high attempt $i $(date) ===" >> "$LOG"
-    timeout 21600 python tools/validate_synthetic.py \
-      --steps 100000 --orbit 30 --frames 16 --mc-res 96 \
-      --exp-dir /root/repo/logs/es100k_high --i-eval 20000 \
-      --precision high --sampling-precision default \
-      --megakernel off --steps-per-call 20 > logs/es100k_high_out.log 2>&1
-    if grep -q '"status": "done"' logs/es100k_high_out.log; then
+  for i in $(seq 1 16); do
+    if grep -q '"status": "done"' logs/es100k_high_out.log 2>/dev/null; then
       grep '"status": "done"' logs/es100k_high_out.log | tail -1 \
         > logs/r3_results/es100k_high.json
       break
     fi
-    echo "--- attempt $i ended without done; resuming ---" >> "$LOG"
-    tail -5 logs/es100k_high_out.log >> "$LOG"
-    sleep 120
+    if ! pgrep -f "exp-dir /root/repo/logs/es100k_high" > /dev/null; then
+      # orphan died without the done line — resume it
+      wait_tunnel
+      echo "=== es100k_high resume attempt $i $(date) ===" >> "$LOG"
+      timeout 21600 python tools/validate_synthetic.py \
+        --steps 100000 --orbit 30 --frames 16 --mc-res 96 \
+        --exp-dir /root/repo/logs/es100k_high --i-eval 20000 \
+        --precision high --sampling-precision default \
+        --megakernel off --steps-per-call 20 \
+        > logs/es100k_high_out.log 2>&1
+    else
+      sleep 600
+    fi
   done
 fi
 
@@ -96,5 +93,5 @@ if [ ! -f logs/r3_results/bench.done ]; then
     && touch logs/r3_results/bench.done
 fi
 
-echo "=== recover finished $(date) ===" >> "$LOG"
+echo "=== follower finished $(date) ===" >> "$LOG"
 touch logs/r3_results/recover_done.marker

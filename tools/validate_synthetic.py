@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--mc-res", type=int, default=96)
     ap.add_argument("--i-eval", type=int, default=0,
                     help="mid-training eval cadence (reference: 20000)")
+    ap.add_argument("--sampler-kernel", default=None,
+                    choices=["auto", "on", "off"],
+                    help="Pallas sampler megakernels (upsample + ray "
+                         "march). Default: follow --megakernel, so "
+                         "precision-control runs stay on one code path "
+                         "across resumes.")
     ap.add_argument("--steps-per-call", type=int, default=5,
                     help="optimizer steps per device dispatch (lax.scan "
                          "window; bit-equivalent to K=1). K=20 keeps a "
@@ -96,6 +102,8 @@ def main():
                       "resume": True, "matmul_precision": args.precision,
                       "sampling_precision": args.sampling_precision,
                       "megakernel": args.megakernel,
+                      "sampler_kernel": (args.sampler_kernel
+                                         or args.megakernel),
                       "remat": False,
                       # K optimizer steps per device dispatch: amortizes
                       # the tunnel's dispatch latency (bit-equivalent to
