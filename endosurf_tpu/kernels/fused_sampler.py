@@ -94,19 +94,46 @@ def upsample_shape_supported(n0: int, n_importance: int,
 def sampler_kernel_available(n_rays: int) -> bool:
     if _MODE == "off":
         return False
-    if _MODE == "on":
-        return True
-    if n_rays < _MIN_RAYS:
-        return False
     from endosurf_tpu.parallel.mesh import mesh_active
     if mesh_active():
         # pallas_call has no GSPMD partitioning rule (parallel/mesh.py);
-        # mesh runs keep the jnp path (sharded by the partitioner).
+        # mesh runs go through sampler_mesh() + shard_map instead.
+        return False
+    if _MODE == "on":
+        return True
+    if n_rays < _MIN_RAYS:
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+def sampler_mesh(n_rays: int):
+    """Mesh to shard_map a sampler kernel over, or None.
+
+    Same contract as fields._megakernel_mesh: params replicated, rays
+    sharded on axis 0 (both kernels are per-ray independent — no
+    collectives). Requires an even split; per-device shards must still
+    clear the kernel gate unless the mode is forced 'on' (tests)."""
+    if _MODE == "off":
+        return None
+    from endosurf_tpu.parallel.mesh import current_mesh, mesh_active
+    if not mesh_active():
+        return None
+    mesh = current_mesh()
+    if mesh is None or n_rays % mesh.size != 0:
+        return None
+    if _MODE == "on":
+        return mesh
+    if n_rays // mesh.size < _MIN_RAYS:
+        return None
+    try:
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+    except Exception:
+        return None
+    return mesh
 
 
 # ---------------------------------------------------------------------------

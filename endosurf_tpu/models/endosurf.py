@@ -130,9 +130,33 @@ def _sampler_serves_upsample(n_rays: int, rspec) -> bool:
             and sampler_kernel_available(n_rays))
 
 
+def _sampler_upsample_mesh(n_rays: int, rspec):
+    from endosurf_tpu.kernels.fused_sampler import (
+        sampler_mesh, upsample_shape_supported)
+    if not upsample_shape_supported(rspec.n_samples, rspec.n_importance,
+                                    rspec.up_sample_steps):
+        return None
+    return sampler_mesh(n_rays)
+
+
 def _sampler_serves_march(n_rays: int) -> bool:
     from endosurf_tpu.kernels.fused_sampler import sampler_kernel_available
     return sampler_kernel_available(n_rays)
+
+
+def _shard_map_rays(fn, mesh, n_ray_args: int, n_out: int = 1):
+    """shard_map a per-ray-independent sampler kernel over the data mesh:
+    first arg (params) replicated, the ray-axis args sharded on axis 0.
+    pallas_call has no GSPMD rule, so this is how the kernels compose with
+    the mesh (same pattern as fields._megakernel_eval_sharded)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    out_specs = P("data") if n_out == 1 else (P("data"),) * n_out
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation (same as fields._megakernel_eval_sharded).
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(P(),) + (P("data"),) * n_ray_args,
+                     out_specs=out_specs, check_vma=False)
 
 
 def _stratified_z(near: jnp.ndarray, far: jnp.ndarray, n_samples: int,
@@ -277,14 +301,23 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
         # TPU the whole loop runs as ONE Pallas kernel (fused_sampler.py).
         with sampling_precision_scope():
             sg_params = jax.lax.stop_gradient(params)
-            if _sampler_serves_upsample(rays.shape[0], rspec):
+            up_mesh = _sampler_upsample_mesh(rays.shape[0], rspec)
+            if _sampler_serves_upsample(rays.shape[0], rspec) \
+                    or up_mesh is not None:
                 from endosurf_tpu.kernels.fused_sampler import \
                     fused_upsample_z
-                z_vals = jax.lax.stop_gradient(fused_upsample_z(
-                    spec, sg_params, rays_o, rays_d_z, t, z_vals,
-                    rspec.n_importance, rspec.up_sample_steps,
-                    compute_dtype=_sampling_compute_dtype(),
-                    interpret=_sampler_interpret()))
+
+                def _up(p, ro, rdz, tt, z0):
+                    return fused_upsample_z(
+                        spec, p, ro, rdz, tt, z0,
+                        rspec.n_importance, rspec.up_sample_steps,
+                        compute_dtype=_sampling_compute_dtype(),
+                        interpret=_sampler_interpret())
+
+                if up_mesh is not None:
+                    _up = _shard_map_rays(_up, up_mesh, 4)
+                z_vals = jax.lax.stop_gradient(
+                    _up(sg_params, rays_o, rays_d_z, t, z_vals))
             else:
                 z_vals = jax.lax.stop_gradient(
                     upsample_z(spec, rspec, sg_params,
@@ -398,13 +431,22 @@ def surface_neighbour_error(spec: EndoSurfSpec, params: Params,
     # kernel on TPU — fused_sampler.py).
     with sampling_precision_scope():
         sg_params = jax.lax.stop_gradient(params)
-        if _sampler_serves_march(rays.shape[0]):
+        from endosurf_tpu.kernels.fused_sampler import sampler_mesh
+        march_mesh = sampler_mesh(rays.shape[0])
+        if _sampler_serves_march(rays.shape[0]) or march_mesh is not None:
             from endosurf_tpu.kernels.fused_sampler import fused_ray_march
             near, far, _ = ray_sphere_intersection(rays_o, rays_d)
-            d_surf, valid = fused_ray_march(
-                spec, sg_params, rays_o, rays_d_z, t, near, far,
-                compute_dtype=_sampling_compute_dtype(),
-                interpret=_sampler_interpret())
+
+            def _march(p, ro, rdz, tt, nn, ff):
+                return fused_ray_march(
+                    spec, p, ro, rdz, tt, nn, ff,
+                    compute_dtype=_sampling_compute_dtype(),
+                    interpret=_sampler_interpret())
+
+            if march_mesh is not None:
+                _march = _shard_map_rays(_march, march_mesh, 5, n_out=2)
+            d_surf, valid = _march(sg_params, rays_o, rays_d_z, t,
+                                   near, far)
         else:
             d_surf, valid = ray_march(spec, sg_params, rays)
     d_surf = jax.lax.stop_gradient(d_surf)

@@ -107,6 +107,40 @@ def test_upsample_shape_gate():
     assert not fs.upsample_shape_supported(32, 30, 4)   # not divisible
 
 
+def test_sampler_kernels_under_mesh(setup):
+    """Sampler kernels under shard_map on the 8-device mesh (the dispatch
+    path mesh runs take, since pallas_call has no GSPMD rule) match the jnp
+    path: same upsampled render maps, same traced surface depths."""
+    from endosurf_tpu.models.endosurf import surface_neighbour_error
+    from endosurf_tpu.parallel import mesh as pm
+
+    spec, params, rays = setup
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    rspec = RenderSpec(perturb=False, anneal_end=0.0)
+    step = jnp.asarray(1000.0)
+    mask = jnp.ones((rays.shape[0], 1))
+    key = jax.random.PRNGKey(7)
+    mesh = pm.make_mesh(8)
+    try:
+        fs.set_sampler_kernel_mode("off")
+        ref = render_rays(spec, rspec, params, rays, step)
+        e_ref = surface_neighbour_error(spec, params, rays, mask, key)
+        fs.set_sampler_kernel_mode("on")
+        with mesh:
+            got = jax.jit(
+                lambda p: render_rays(spec, rspec, p, rays, step))(params)
+            e_got = jax.jit(
+                lambda p: surface_neighbour_error(spec, p, rays, mask,
+                                                  key))(params)
+    finally:
+        fs.set_sampler_kernel_mode("auto")
+        pm.set_mesh_active(False)
+    np.testing.assert_allclose(np.asarray(got["depth_map"]),
+                               np.asarray(ref["depth_map"]), atol=1e-4)
+    np.testing.assert_allclose(float(e_got), float(e_ref), atol=1e-4)
+
+
 def test_availability_gate_off_cpu():
     # mode "auto" never engages off-TPU; "on" forces (interpret path).
     fs.set_sampler_kernel_mode("auto")
