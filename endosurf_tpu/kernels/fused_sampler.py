@@ -234,10 +234,13 @@ def _bitonic_merge_64(z, sdf, shl, shr, misc):
     """Sort lanes 0..63 of ``z`` (and co-move ``sdf``) given the bitonic
     precondition (ascending reals ++ BIG ++ descending new). Stages run on
     all 128 lanes; the upper constant-BIG block is invariant."""
-    for si, d in enumerate(_BITONIC_DS):
+    for d in _BITONIC_DS:
         fh = misc[3 + int(math.log2(d)):4 + int(math.log2(d)), :] == 1.0
         partner = jnp.where(fh, _mm(z, shl[d]), _mm(z, shr[d]))
-        took = jnp.where(fh, partner < z, partner > z)
+        # Exchange decision as f32 0/1 (Mosaic rejects selects BETWEEN i1
+        # vectors): first half takes the smaller partner, second the larger.
+        took = jnp.where(fh, (partner < z).astype(z.dtype),
+                         (partner > z).astype(z.dtype)) > 0.5
         if sdf is not None:
             partner_s = jnp.where(fh, _mm(sdf, shl[d]), _mm(sdf, shr[d]))
             sdf = jnp.where(took, partner_s, sdf)
