@@ -105,14 +105,18 @@ def main():
 
     for name, fn in (("xla", up_jnp), ("kernel", up_kernel)):
         fsmp.set_sampler_kernel_mode("off")   # jnp path must not re-dispatch
-        f = jax.jit(fn)
-        t0 = time.perf_counter()
-        fence(f(params))
-        compile_s = time.perf_counter() - t0
-        ms = burst(f, (params,), args.iters) * 1e3
-        print(json.dumps({"section": "upsample", "path": name,
-                          "rays": n, "ms": round(ms, 2),
-                          "compile_s": round(compile_s, 1)}), flush=True)
+        try:
+            f = jax.jit(fn)
+            t0 = time.perf_counter()
+            fence(f(params))
+            compile_s = time.perf_counter() - t0
+            ms = burst(f, (params,), args.iters) * 1e3
+            print(json.dumps({"section": "upsample", "path": name,
+                              "rays": n, "ms": round(ms, 2),
+                              "compile_s": round(compile_s, 1)}), flush=True)
+        except Exception as e:  # keep the A/B alive if one path won't compile
+            print(json.dumps({"section": "upsample", "path": name,
+                              "error": str(e)[:400]}), flush=True)
 
     # ---- isolated ray march ----------------------------------------------
     def march_jnp(p):
@@ -127,14 +131,18 @@ def main():
 
     for name, fn in (("xla", march_jnp), ("kernel", march_kernel)):
         fsmp.set_sampler_kernel_mode("off")
-        f = jax.jit(fn)
-        t0 = time.perf_counter()
-        fence(f(params))
-        compile_s = time.perf_counter() - t0
-        ms = burst(f, (params,), args.iters) * 1e3
-        print(json.dumps({"section": "ray_march", "path": name,
-                          "rays": n, "ms": round(ms, 2),
-                          "compile_s": round(compile_s, 1)}), flush=True)
+        try:
+            f = jax.jit(fn)
+            t0 = time.perf_counter()
+            fence(f(params))
+            compile_s = time.perf_counter() - t0
+            ms = burst(f, (params,), args.iters) * 1e3
+            print(json.dumps({"section": "ray_march", "path": name,
+                              "rays": n, "ms": round(ms, 2),
+                              "compile_s": round(compile_s, 1)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"section": "ray_march", "path": name,
+                              "error": str(e)[:400]}), flush=True)
 
     # ---- full train step, sampler kernels on vs off -----------------------
     if args.skip_step:
@@ -148,33 +156,38 @@ def main():
     arrays = scene.device_arrays
     for mode in ("off", "on"):
         fsmp.set_sampler_kernel_mode(mode)
-        step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w,
-                                  args.rays, loss_weights,
-                                  surf_neig_rad=0.1, remat=False)
-        p = init_endosurf_params(jax.random.PRNGKey(0), spec)
-        ostate = tx.init(p)
-        k = jax.random.PRNGKey(3)
-        t0 = time.perf_counter()
-        for i in range(3):
-            k, kk = jax.random.split(k)
-            p, ostate, m = step_fn(p, ostate, arrays, kk,
-                                   jnp.asarray(float(i + 1)))
-        fence(m["loss_total"])
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            k, kk = jax.random.split(k)
-            p, ostate, m = step_fn(p, ostate, arrays, kk,
-                                   jnp.asarray(float(i + 4)))
-        fence(m["loss_total"])
-        step_ms = (time.perf_counter() - t0) / args.iters * 1e3
-        print(json.dumps({
-            "section": "train_step", "sampler_kernel": mode,
-            "megakernel": args.megakernel,
-            "step_ms": round(step_ms, 2),
-            "rays_per_sec": round(args.rays / step_ms * 1e3, 1),
-            "loss": round(fence(m["loss_total"]), 4),
-            "compile_s": round(compile_s, 1)}), flush=True)
+        try:
+            step_fn = make_train_step(spec, rspec, tx, scene.h, scene.w,
+                                      args.rays, loss_weights,
+                                      surf_neig_rad=0.1, remat=False)
+            p = init_endosurf_params(jax.random.PRNGKey(0), spec)
+            ostate = tx.init(p)
+            k = jax.random.PRNGKey(3)
+            t0 = time.perf_counter()
+            for i in range(3):
+                k, kk = jax.random.split(k)
+                p, ostate, m = step_fn(p, ostate, arrays, kk,
+                                       jnp.asarray(float(i + 1)))
+            fence(m["loss_total"])
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                k, kk = jax.random.split(k)
+                p, ostate, m = step_fn(p, ostate, arrays, kk,
+                                       jnp.asarray(float(i + 4)))
+            fence(m["loss_total"])
+            step_ms = (time.perf_counter() - t0) / args.iters * 1e3
+            print(json.dumps({
+                "section": "train_step", "sampler_kernel": mode,
+                "megakernel": args.megakernel,
+                "step_ms": round(step_ms, 2),
+                "rays_per_sec": round(args.rays / step_ms * 1e3, 1),
+                "loss": round(fence(m["loss_total"]), 4),
+                "compile_s": round(compile_s, 1)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"section": "train_step",
+                              "sampler_kernel": mode,
+                              "error": str(e)[:400]}), flush=True)
 
     fsmp.set_sampler_kernel_mode("auto")
 
