@@ -73,6 +73,12 @@ BIG = 1.0e9            # +inf stand-in for unfilled sample lanes
 LANES = 128
 
 _MODE = "auto"         # auto | on | off (set_sampler_kernel_mode)
+# The march kernel has its own gate: its ~24 unrolled in-kernel MLP evals
+# make the Mosaic compile pathologically slow (40+ min per enclosing XLA
+# program, logs/r3_bench_sampler.log) while the XLA path is only ~5 ms, so
+# "auto" resolves OFF for it — every fresh train/eval/demo program would
+# otherwise pay that compile. Force "on" to use it (tests run interpret).
+_MARCH_MODE = "auto"   # auto | on | off (set_march_kernel_mode)
 _MIN_RAYS = 256
 
 
@@ -80,6 +86,28 @@ def set_sampler_kernel_mode(mode: str) -> None:
     global _MODE
     assert mode in ("auto", "on", "off")
     _MODE = mode
+
+
+def set_march_kernel_mode(mode: str) -> None:
+    global _MARCH_MODE
+    assert mode in ("auto", "on", "off")
+    _MARCH_MODE = mode
+
+
+def _march_enabled() -> bool:
+    """The march kernel is opt-in: explicit march mode 'on', or the shared
+    sampler mode forced 'on' (the tests' force-everything switch)."""
+    if _MARCH_MODE == "off":
+        return False
+    return _MARCH_MODE == "on" or _MODE == "on"
+
+
+def march_kernel_available(n_rays: int) -> bool:
+    return _march_enabled() and sampler_kernel_available(n_rays)
+
+
+def march_sampler_mesh(n_rays: int):
+    return sampler_mesh(n_rays) if _march_enabled() else None
 
 
 def upsample_shape_supported(n0: int, n_importance: int,

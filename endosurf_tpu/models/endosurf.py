@@ -140,8 +140,8 @@ def _sampler_upsample_mesh(n_rays: int, rspec):
 
 
 def _sampler_serves_march(n_rays: int) -> bool:
-    from endosurf_tpu.kernels.fused_sampler import sampler_kernel_available
-    return sampler_kernel_available(n_rays)
+    from endosurf_tpu.kernels.fused_sampler import march_kernel_available
+    return march_kernel_available(n_rays)
 
 
 def _shard_map_rays(fn, mesh, n_ray_args: int, n_out: int = 1):
@@ -431,8 +431,8 @@ def surface_neighbour_error(spec: EndoSurfSpec, params: Params,
     # kernel on TPU — fused_sampler.py).
     with sampling_precision_scope():
         sg_params = jax.lax.stop_gradient(params)
-        from endosurf_tpu.kernels.fused_sampler import sampler_mesh
-        march_mesh = sampler_mesh(rays.shape[0])
+        from endosurf_tpu.kernels.fused_sampler import march_sampler_mesh
+        march_mesh = march_sampler_mesh(rays.shape[0])
         if _sampler_serves_march(rays.shape[0]) or march_mesh is not None:
             from endosurf_tpu.kernels.fused_sampler import fused_ray_march
             near, far, _ = ray_sphere_intersection(rays_o, rays_d)

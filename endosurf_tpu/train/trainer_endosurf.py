@@ -175,9 +175,12 @@ class EndoSurfTrainer(Trainer):
         # Sampler megakernels: whole-loop Pallas upsampling + ray march
         # (kernels/fused_sampler.py). Same mode contract as the megakernel;
         # "auto" engages on TPU at >=256-ray batches.
-        from endosurf_tpu.kernels.fused_sampler import \
-            set_sampler_kernel_mode
+        from endosurf_tpu.kernels.fused_sampler import (
+            set_march_kernel_mode, set_sampler_kernel_mode)
         set_sampler_kernel_mode(self.train_cfg.get("sampler_kernel", "auto"))
+        # The ray-march kernel is opt-in ("auto" = off): its Mosaic compile
+        # is 40+ min per program vs a ~5 ms XLA stage (fused_sampler.py).
+        set_march_kernel_mode(self.train_cfg.get("march_kernel", "auto"))
 
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)
