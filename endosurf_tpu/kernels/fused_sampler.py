@@ -376,9 +376,22 @@ def _upsample_kernel(spec, rspec_tuple, n_deform, compute_dtype,
     c = _lane_extract(rc, iota, 2)
 
     # Initial SDF at the n0 stratified samples, EVAL_CHUNK lanes at a time.
-    sdf = jnp.zeros_like(z)
-    for start in range(0, n0, EVAL_CHUNK):
-        lanes = list(range(start, min(start + EVAL_CHUNK, n0)))
+    # Full chunks run as ONE fori_loop MLP-eval instance (compile cost —
+    # see the march-kernel note); a short remainder chunk stays unrolled.
+    def _sweep_chunk(ci, sdf_acc):
+        base = ci * EVAL_CHUNK
+        z_cols = [_lane_extract(z, iota, base + j)
+                  for j in range(EVAL_CHUNK)]
+        sdf_cols = _eval_lanes(spec, n_deform, compute_dtype, consts,
+                               layers, o3, d3, z_cols)
+        for j, col in enumerate(sdf_cols):
+            sdf_acc = jnp.where(iota == base + j, col, sdf_acc)
+        return sdf_acc
+
+    sdf = jax.lax.fori_loop(0, n0 // EVAL_CHUNK, _sweep_chunk,
+                            jnp.zeros_like(z))
+    if n0 % EVAL_CHUNK:
+        lanes = list(range(n0 - n0 % EVAL_CHUNK, n0))
         z_cols = [_lane_extract(z, iota, s) for s in lanes]
         sdf_cols = _eval_lanes(spec, n_deform, compute_dtype, consts,
                                layers, o3, d3, z_cols)
@@ -504,13 +517,21 @@ def _march_kernel(spec, cfg, n_deform, compute_dtype,
     # d_prop: n_steps linspace(near, far) on lanes (n_steps == LANES)
     z = near * (1.0 - lin) + far * lin
 
-    sdf = jnp.zeros_like(z)
-    for start in range(0, n_steps, EVAL_CHUNK):
-        lanes = list(range(start, start + EVAL_CHUNK))
-        z_cols = [_lane_extract(z, iota, s) for s in lanes]
+    # The sweep and secant loops run as lax.fori_loop so the kernel program
+    # holds TWO MLP-eval instances instead of 24 unrolled ones — the
+    # unrolled form gave Mosaic a 40+ min compile per enclosing program.
+    def _sweep_chunk(c, sdf_acc):
+        base = c * EVAL_CHUNK
+        z_cols = [_lane_extract(z, iota, base + j)
+                  for j in range(EVAL_CHUNK)]
         sdf_cols = _eval_lanes(spec, n_deform, compute_dtype, consts,
                                layers, o3, d3, z_cols)
-        sdf = _cols_to_lanes(sdf_cols, lanes, iota, sdf)
+        for j, col in enumerate(sdf_cols):
+            sdf_acc = jnp.where(iota == base + j, col, sdf_acc)
+        return sdf_acc
+
+    sdf = jax.lax.fori_loop(0, n_steps // EVAL_CHUNK, _sweep_chunk,
+                            jnp.zeros_like(z))
 
     # First +- crossing (reference endosurf.py:352-380; models/endosurf.py
     # ray_march): cost = sign(val_i * val_{i+1}) * arange(S..1), argmin.
@@ -533,7 +554,9 @@ def _march_kernel(spec, cfg, n_deform, compute_dtype,
     valid = (cost_min < 0.0) & (val_at < 0.0) & first_free
 
     d_pred = -f_low * (d_high - d_low) / (f_high - f_low + 1e-12) + d_low
-    for _ in range(n_secant):
+
+    def _secant_iter(_i, carry):
+        d_low, f_low, d_high, f_high, d_pred = carry
         xt = o3 + d_pred * d3
         f_mid = -(eval_sdf_inline(spec, n_deform, compute_dtype, xt,
                                   consts, layers) - tau)
@@ -544,6 +567,11 @@ def _march_kernel(spec, cfg, n_deform, compute_dtype,
         f_high = jnp.where(low, f_high, f_mid)
         d_pred = (-f_low * (d_high - d_low) / (f_high - f_low + 1e-12)
                   + d_low)
+        return (d_low, f_low, d_high, f_high, d_pred)
+
+    d_low, f_low, d_high, f_high, d_pred = jax.lax.fori_loop(
+        0, n_secant, _secant_iter,
+        (d_low, f_low, d_high, f_high, d_pred))
 
     depth_ref[...] = jnp.where(valid, d_pred, 0.5 * (near + far))
     valid_ref[...] = valid.astype(jnp.float32)
