@@ -73,11 +73,10 @@ BIG = 1.0e9            # +inf stand-in for unfilled sample lanes
 LANES = 128
 
 _MODE = "auto"         # auto | on | off (set_sampler_kernel_mode)
-# The march kernel has its own gate: its ~24 unrolled in-kernel MLP evals
-# make the Mosaic compile pathologically slow (40+ min per enclosing XLA
-# program, logs/r3_bench_sampler.log) while the XLA path is only ~5 ms, so
-# "auto" resolves OFF for it — every fresh train/eval/demo program would
-# otherwise pay that compile. Force "on" to use it (tests run interpret).
+# The march kernel keeps its own gate (it briefly shipped opt-in when its
+# unrolled form cost Mosaic 40+ min of compile per program; the fori_loop
+# form compiles in ~15 s and beats the XLA stage 4.0 vs 4.6 ms —
+# logs/r3_bench_sampler_v2.log — so "auto" engages it again).
 _MARCH_MODE = "auto"   # auto | on | off (set_march_kernel_mode)
 _MIN_RAYS = 256
 
@@ -95,11 +94,9 @@ def set_march_kernel_mode(mode: str) -> None:
 
 
 def _march_enabled() -> bool:
-    """The march kernel is opt-in: explicit march mode 'on', or the shared
-    sampler mode forced 'on' (the tests' force-everything switch)."""
     if _MARCH_MODE == "off":
         return False
-    return _MARCH_MODE == "on" or _MODE == "on"
+    return True
 
 
 def march_kernel_available(n_rays: int) -> bool:

@@ -178,8 +178,6 @@ class EndoSurfTrainer(Trainer):
         from endosurf_tpu.kernels.fused_sampler import (
             set_march_kernel_mode, set_sampler_kernel_mode)
         set_sampler_kernel_mode(self.train_cfg.get("sampler_kernel", "auto"))
-        # The ray-march kernel is opt-in ("auto" = off): its Mosaic compile
-        # is 40+ min per program vs a ~5 ms XLA stage (fused_sampler.py).
         set_march_kernel_mode(self.train_cfg.get("march_kernel", "auto"))
 
         seed = cfg.get("exp", {}).get("seed", 0)
