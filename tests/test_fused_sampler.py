@@ -148,3 +148,20 @@ def test_availability_gate_off_cpu():
     fs.set_sampler_kernel_mode("on")
     assert fs.sampler_kernel_available(8)
     fs.set_sampler_kernel_mode("auto")
+
+
+def test_march_kernel_gate():
+    """The march kernel's own knob composes with the shared sampler gate:
+    march 'off' beats sampler 'on'; march 'on'/'auto' defer to the shared
+    availability rule (so 'auto' still never engages off-TPU)."""
+    try:
+        fs.set_sampler_kernel_mode("on")
+        fs.set_march_kernel_mode("off")
+        assert not fs.march_kernel_available(1024)
+        fs.set_march_kernel_mode("auto")
+        assert fs.march_kernel_available(1024)
+        fs.set_sampler_kernel_mode("auto")
+        assert not fs.march_kernel_available(1024)  # CPU: shared gate off
+    finally:
+        fs.set_sampler_kernel_mode("auto")
+        fs.set_march_kernel_mode("auto")
