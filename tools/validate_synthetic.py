@@ -57,6 +57,10 @@ def main():
                          "march). Default: follow --megakernel, so "
                          "precision-control runs stay on one code path "
                          "across resumes.")
+    ap.add_argument("--march-kernel", default=None,
+                    choices=["auto", "on", "off"],
+                    help="ray-march kernel's own gate (default: follow "
+                         "--sampler-kernel resolution)")
     ap.add_argument("--steps-per-call", type=int, default=5,
                     help="optimizer steps per device dispatch (lax.scan "
                          "window; bit-equivalent to K=1). K=20 keeps a "
@@ -104,6 +108,9 @@ def main():
                       "megakernel": args.megakernel,
                       "sampler_kernel": (args.sampler_kernel
                                          or args.megakernel),
+                      "march_kernel": (args.march_kernel
+                                       or args.sampler_kernel
+                                       or args.megakernel),
                       "remat": False,
                       # K optimizer steps per device dispatch: amortizes
                       # the tunnel's dispatch latency (bit-equivalent to
