@@ -327,6 +327,64 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
                        remat=remat)
 
 
+def render_rays_inference(spec: EndoSurfSpec, rspec: RenderSpec,
+                          params: Params, rays: jnp.ndarray,
+                          iter_step: jnp.ndarray,
+                          use_importance: bool = True
+                          ) -> Dict[str, jnp.ndarray]:
+    """Forward-only render for the serving paths (eval/test/demo).
+
+    Dispatches the whole pipeline — stratified init, upsampling, field
+    evaluation, NeuS compositing — to ONE Pallas kernel per ray block on TPU
+    (kernels/fused_render.py); falls back to the differentiable
+    :func:`render_rays` (key=None) elsewhere. The fused path returns
+    ``normal_map`` directly (the weights-weighted gradient sum
+    evaluation/render_eval.py otherwise assembles host-side).
+    """
+    from endosurf_tpu.kernels.fused_render import (
+        fused_render_rays,
+        render_kernel_available,
+        render_mesh,
+        render_shape_supported,
+    )
+    n_rays = rays.shape[0]
+    shapes_ok = (use_importance and rspec.n_importance > 0
+                 and render_shape_supported(rspec.n_samples,
+                                            rspec.n_importance,
+                                            rspec.up_sample_steps))
+    mesh = render_mesh(n_rays) if shapes_ok else None
+    if shapes_ok and (render_kernel_available(n_rays) or mesh is not None):
+        from endosurf_tpu.ops.mlp import get_matmul_precision
+        prec = get_matmul_precision()
+        main_dtype = jnp.bfloat16 if prec == "default" else jnp.float32
+        main_prec = None if prec == "default" else (
+            "high" if prec == "high" else "highest")
+        with sampling_precision_scope():
+            samp_dtype = _sampling_compute_dtype()
+
+        def _render(p, r, step_f):
+            return fused_render_rays(
+                spec, p, r, step_f,
+                rspec.n_samples, rspec.n_importance, rspec.up_sample_steps,
+                rspec.anneal_end,
+                sampling_dtype=samp_dtype, main_dtype=main_dtype,
+                main_precision=main_prec,
+                interpret=_sampler_interpret())
+
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            keys = ("color_map", "depth_map", "normal_map", "acc_map",
+                    "weight_max")
+            _render = shard_map(
+                _render, mesh=mesh,
+                in_specs=(P(), P("data"), P()),
+                out_specs={k: P("data") for k in keys}, check_vma=False)
+        return _render(params, rays, iter_step)
+    return render_rays(spec, rspec, params, rays, iter_step, key=None,
+                       use_importance=use_importance)
+
+
 # ---------------------------------------------------------------------------
 # depth-supervision and surface-regularization queries
 # ---------------------------------------------------------------------------

@@ -179,6 +179,11 @@ class EndoSurfTrainer(Trainer):
             set_march_kernel_mode, set_sampler_kernel_mode)
         set_sampler_kernel_mode(self.train_cfg.get("sampler_kernel", "auto"))
         set_march_kernel_mode(self.train_cfg.get("march_kernel", "auto"))
+        # Inference megakernel: the whole forward render pipeline as one
+        # Pallas dispatch per ray block (kernels/fused_render.py) — serves
+        # the eval/test/demo render paths only (render_rays_inference).
+        from endosurf_tpu.kernels.fused_render import set_render_kernel_mode
+        set_render_kernel_mode(self.train_cfg.get("render_kernel", "auto"))
 
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)
@@ -284,11 +289,14 @@ class EndoSurfTrainer(Trainer):
             replicate_outputs
         mesh = self.mesh
 
+        from endosurf_tpu.models.endosurf import render_rays_inference
+
         @functools.partial(jax.jit, static_argnames=())
         def fn(params, rays, step_f):
             rays = constrain_axis0(rays, mesh)
-            out = render_rays(self.spec, self.rspec, params, rays, step_f,
-                              key=None, use_importance=use_importance)
+            out = render_rays_inference(
+                self.spec, self.rspec, params, rays, step_f,
+                use_importance=use_importance)
             return replicate_outputs(out, mesh)
         return fn
 
