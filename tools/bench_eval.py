@@ -35,6 +35,12 @@ def main():
                     choices=["auto", "on", "off"],
                     help="Pallas megakernel mode for the fwd field eval "
                          "(the fwd-only serving path may prefer XLA)")
+    ap.add_argument("--render-kernel", nargs="+", default=["off", "auto"],
+                    choices=["auto", "on", "off"],
+                    help="whole-pipeline inference megakernel modes to "
+                         "sweep (kernels/fused_render.py); the default "
+                         "measures the XLA-composed path vs the fused "
+                         "dispatch in one process")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +48,9 @@ def main():
 
     from endosurf_tpu.data.scene_data import (frame_rays,
                                               make_synthetic_arrays)
-    from endosurf_tpu.models.endosurf import RenderSpec, render_rays
+    from endosurf_tpu.kernels.fused_render import set_render_kernel_mode
+    from endosurf_tpu.models.endosurf import (RenderSpec,
+                                              render_rays_inference)
     from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
     from endosurf_tpu.ops.mlp import (set_matmul_precision,
                                       set_sampling_precision)
@@ -58,10 +66,6 @@ def main():
     arrays = scene.device_arrays
     step_f = jnp.asarray(100000.0)
 
-    @jax.jit
-    def render(params, rays):
-        return render_rays(spec, rspec, params, rays, step_f, key=None)
-
     all_rays = np.asarray(
         frame_rays(arrays, scene.h, scene.w, 0)).reshape(-1, 9)
     if args.limit:
@@ -69,13 +73,24 @@ def main():
 
     import jax.lax as lax
 
-    for chunk in args.chunks:
-        for cpc in args.chunks_per_call:
+    for rk_mode in args.render_kernel:
+        # Fresh jit closures per mode: the render-kernel gate is read at
+        # trace time, so a cached trace would pin the previous mode.
+        set_render_kernel_mode(rk_mode)
+
+        @jax.jit
+        def render(params, rays):
+            return render_rays_inference(spec, rspec, params, rays, step_f)
+
+        for chunk in args.chunks:
+          for cpc in args.chunks_per_call:
             n = (len(all_rays) // (chunk * cpc)) * chunk * cpc
             if n == 0:
                 continue
             rays = jnp.asarray(all_rays[:n]).reshape(-1, cpc, chunk, 9)
 
+            # Plain closures: ``call`` is consumed within this iteration,
+            # so loop-variable late binding cannot bite.
             if cpc == 1:
                 def call(group):
                     return render(params, group[0])
@@ -105,6 +120,7 @@ def main():
                 "value": round(done / dt, 1), "unit": "rays/s",
                 "precision": args.precision,
                 "megakernel": args.megakernel,
+                "render_kernel": rk_mode,
             }), flush=True)
 
 
