@@ -81,6 +81,18 @@ def stage_sweep():
     return ok
 
 
+def stage_en100k():
+    """EndoNeRF at the full reference budget (100k steps, eval every 20k) —
+    the baseline vertical's analog of the EndoSurf 100k runs, at shipping
+    precision. Single process, steps_per_call=20 (the round-3 zero-wedge
+    recipe)."""
+    return run_validate("en100k_default", [
+        "--model", "endonerf", "--steps", "100000", "--orbit", "30",
+        "--frames", "16", "--mc-res", "96", "--precision", "default",
+        "--steps-per-call", "20", "--i-eval", "20000",
+        "--exp-dir", "logs/en100k_default"])
+
+
 def _find_cfg(exp_root):
     for root, _dirs, files in os.walk(exp_root):
         if "cfg.yml" in files:
@@ -131,7 +143,8 @@ def main():
     stages = sys.argv[1:] or ["sweep"]
     ok = True
     for st in stages:
-        ok = {"sweep": stage_sweep, "demos": stage_demos}[st]() and ok
+        ok = {"sweep": stage_sweep, "demos": stage_demos,
+              "en100k": stage_en100k}[st]() and ok
     print(json.dumps({"driver_status": "ok" if ok else "incomplete",
                       "stages": stages}), flush=True)
     return 0 if ok else 1
