@@ -345,6 +345,11 @@ def fused_render_rays(spec: EndoSurfSpec, params: Dict[str, Any],
     # set_compute_mode is a trace-time side effect; the jit cache is keyed
     # by (main_dtype, main_precision) statics, so each mode traces its own
     # program (same pattern as fields._sync_megakernel_precision).
+    # Mosaic has no HIGH dot precision (NotImplementedError at lowering);
+    # inside the kernel "high" is promoted to "highest" — a strict accuracy
+    # superset of the bf16x3 passes the XLA path would run.
+    if main_precision == "high":
+        main_precision = "highest"
     prev_mode = (ft._COMPUTE_DTYPE, ft._PRECISION)
     ft.set_compute_mode(main_dtype, main_precision)
     try:

@@ -122,7 +122,17 @@ def _seg_pallas(fn, res_tree, blocks: Sequence[jnp.ndarray],
         res = jax.tree_util.tree_unflatten(
             res_def, [r[...] for r in res_refs])
         blk = [r[...] for r in blk_refs]
-        b_outs, a_out = fn(res, *blk)
+        # Mosaic has no HIGH dot precision; promote to "highest" for the
+        # in-kernel trace (an accuracy superset of the bf16x3 passes) and
+        # restore afterwards — the jnp oracle path keeps "high".
+        from endosurf_tpu.kernels import fused_train as _ft
+        prev = (_ft._COMPUTE_DTYPE, _ft._PRECISION)
+        if _ft._PRECISION == "high":
+            _ft.set_compute_mode(_ft._COMPUTE_DTYPE, "highest")
+        try:
+            b_outs, a_out = fn(res, *blk)
+        finally:
+            _ft.set_compute_mode(*prev)
         for r, v in zip(out_refs, b_outs):
             r[...] = v.astype(r.dtype)
         if acc_refs:

@@ -28,6 +28,17 @@ for i in $(seq 1 120); do
   sleep 300
 done
 
+# demo128 first (it failed on the HIGH-precision Mosaic gap, now fixed —
+# the driver skips the already-done demo256_3d unit).
+for i in $(seq 1 3); do
+  [ -f logs/r3_results/demo128.json ] && break
+  wait_tunnel
+  echo "=== stage-f demo128 attempt $i $(date) ===" >> "$LOG"
+  timeout 14400 python tools/round3_recover_driver.py demos \
+    >> logs/r3_demos.log 2>&1 && break
+  sleep 120
+done
+
 for i in $(seq 1 4); do
   [ -f logs/r3_results/en100k_default.json ] && break
   wait_tunnel
