@@ -116,6 +116,39 @@ def bench_endosurf():
                     ray_batch, tag="endosurf")
 
 
+def bench_eval_serving(budget_s: float = 900.0):
+    """Serving-path throughput (eval/demo renderer, no gradients) at the
+    shipping config: 2048-ray chunks through render_rays_inference (the
+    fused whole-pipeline kernel on TPU, kernels/fused_render.py).
+
+    Runs as a BOUNDED SUBPROCESS (tools/bench_eval.py) so a tunnel stall
+    here can only cost its own budget, never the headline training metric.
+    Returns rays/s or None."""
+    import os.path as osp
+    import subprocess
+    import sys
+
+    cmd = [sys.executable,
+           osp.join(osp.dirname(osp.abspath(__file__)), "tools",
+                    "bench_eval.py"),
+           "--chunks", "2048", "--chunks-per-call", "1", "--frames", "2",
+           "--render-kernel", "auto"]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        return None
+    value = None
+    for line in proc.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("metric") == "endosurf_eval_rays_per_sec":
+            value = rec["value"]
+    return value
+
+
 def bench_endonerf():
     import jax
     import optax
@@ -157,6 +190,13 @@ def main():
 
     es_rates = bench_endosurf()
     en_rates = bench_endonerf()
+    try:
+        eval_rate = bench_eval_serving()
+    except Exception as e:
+        import sys
+        print(f"# bench_eval_serving failed: {e!r}", file=sys.stderr,
+              flush=True)
+        eval_rate = None
     watchdog.cancel()
 
     rays_per_sec = float(np.median(es_rates))
@@ -174,6 +214,9 @@ def main():
         "window_rays_per_sec": [round(r, 1) for r in es_rates],
         "endonerf_rays_per_sec": round(float(np.median(en_rates)), 1),
         "endonerf_window_rays_per_sec": [round(r, 1) for r in en_rates],
+        # Serving path (eval/demo renderer, fused inference kernel on TPU).
+        "eval_rays_per_sec": (round(eval_rate, 1)
+                              if eval_rate is not None else None),
     }))
 
 
