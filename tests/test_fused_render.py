@@ -138,6 +138,22 @@ def test_render_kernel_under_mesh(setup):
                                np.asarray(ref["depth_map"]), atol=1e-4)
 
 
+def test_high_precision_mode(setup):
+    """matmul_precision 'high' maps to in-kernel HIGHEST (Mosaic has no
+    HIGH dot precision — this crashed the first TPU demo run against the
+    high-precision checkpoint). Must trace, run, and match the f32 path."""
+    spec, params, rays = setup
+    rspec = RenderSpec(anneal_end=0.0)
+    step = jnp.asarray(1000.0)
+    ref = render_rays(spec, rspec, params, rays, step, key=None)
+    got = fr.fused_render_rays(
+        spec, params, rays, step, rspec.n_samples, rspec.n_importance,
+        rspec.up_sample_steps, rspec.anneal_end,
+        main_precision="high", interpret=True)
+    np.testing.assert_allclose(np.asarray(got["color_map"]),
+                               np.asarray(ref["color_map"]), atol=1e-4)
+
+
 def test_shape_gate():
     assert fr.render_shape_supported(32, 32, 4)
     assert not fr.render_shape_supported(64, 64, 4)    # > 64 total lanes
