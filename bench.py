@@ -116,13 +116,17 @@ def bench_endosurf():
                     ray_batch, tag="endosurf")
 
 
-def bench_eval_serving(budget_s: float = 900.0):
+def bench_eval_serving(budget_s: float = 1800.0):
     """Serving-path throughput (eval/demo renderer, no gradients) at the
     shipping config: 2048-ray chunks through render_rays_inference (the
     fused whole-pipeline kernel on TPU, kernels/fused_render.py).
 
     Runs as a BOUNDED SUBPROCESS (tools/bench_eval.py) so a tunnel stall
-    here can only cost its own budget, never the headline training metric.
+    here can only cost its own budget, never the headline training metric
+    (the caller cancels its watchdog first). The budget is generous: the
+    render-kernel Mosaic compile is ~300 s uncached and a timeout KILLS the
+    child mid-compile, which can wedge the tunnel for whatever runs next
+    (CLAUDE.md) — this stage is therefore the LAST device work in bench.
     Returns rays/s or None."""
     import os.path as osp
     import subprocess
@@ -190,6 +194,10 @@ def main():
 
     es_rates = bench_endosurf()
     en_rates = bench_endonerf()
+    # Training metrics are in hand: cancel the watchdog BEFORE the serving
+    # stage so a stall there can never discard the headline — the serving
+    # subprocess is bounded by its own budget instead.
+    watchdog.cancel()
     try:
         eval_rate = bench_eval_serving()
     except Exception as e:
@@ -197,7 +205,6 @@ def main():
         print(f"# bench_eval_serving failed: {e!r}", file=sys.stderr,
               flush=True)
         eval_rate = None
-    watchdog.cancel()
 
     rays_per_sec = float(np.median(es_rates))
     print(json.dumps({

@@ -89,43 +89,16 @@ def render_shape_supported(n_samples: int, n_importance: int,
 
 
 def render_kernel_available(n_rays: int) -> bool:
-    if _MODE == "off":
-        return False
-    from endosurf_tpu.parallel.mesh import mesh_active
-    if mesh_active():
-        return False          # >1-device meshes go through render_mesh()
-    if _MODE == "on":
-        return True
-    if n_rays < _MIN_RAYS:
-        return False
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    from endosurf_tpu.kernels.fused_sampler import kernel_gate
+    return kernel_gate(_MODE, n_rays, _MIN_RAYS)
 
 
 def render_mesh(n_rays: int):
     """Mesh to shard_map the render kernel over, or None (same contract as
     fused_sampler.sampler_mesh: params replicated, rays sharded, no
     collectives — rendering is per-ray independent)."""
-    if _MODE == "off":
-        return None
-    from endosurf_tpu.parallel.mesh import current_mesh, mesh_active
-    if not mesh_active():
-        return None
-    mesh = current_mesh()
-    if mesh is None or n_rays % mesh.size != 0:
-        return None
-    if _MODE == "on":
-        return mesh
-    if n_rays // mesh.size < _MIN_RAYS:
-        return None
-    try:
-        if jax.default_backend() not in ("tpu", "axon"):
-            return None
-    except Exception:
-        return None
-    return mesh
+    from endosurf_tpu.kernels.fused_sampler import kernel_mesh
+    return kernel_mesh(_MODE, n_rays, _MIN_RAYS)
 
 
 # ---------------------------------------------------------------------------

@@ -116,17 +116,19 @@ def upsample_shape_supported(n0: int, n_importance: int,
     return 0 < k <= 8 and n0 + n_importance <= 64
 
 
-def sampler_kernel_available(n_rays: int) -> bool:
-    if _MODE == "off":
+def kernel_gate(mode: str, n_rays: int, min_rays: int) -> bool:
+    """Shared single-device dispatch gate for the per-ray Pallas kernels
+    (sampler, march, whole-pipeline render): engage on TPU backends at
+    >= min_rays, 'on' forces (tests/interpret), mesh runs are bounced to
+    the shard_map path (pallas_call has no GSPMD partitioning rule)."""
+    if mode == "off":
         return False
     from endosurf_tpu.parallel.mesh import mesh_active
     if mesh_active():
-        # pallas_call has no GSPMD partitioning rule (parallel/mesh.py);
-        # mesh runs go through sampler_mesh() + shard_map instead.
         return False
-    if _MODE == "on":
+    if mode == "on":
         return True
-    if n_rays < _MIN_RAYS:
+    if n_rays < min_rays:
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -134,14 +136,14 @@ def sampler_kernel_available(n_rays: int) -> bool:
         return False
 
 
-def sampler_mesh(n_rays: int):
-    """Mesh to shard_map a sampler kernel over, or None.
+def kernel_mesh(mode: str, n_rays: int, min_rays: int):
+    """Mesh to shard_map a per-ray kernel over, or None.
 
     Same contract as fields._megakernel_mesh: params replicated, rays
-    sharded on axis 0 (both kernels are per-ray independent — no
+    sharded on axis 0 (the kernels are per-ray independent — no
     collectives). Requires an even split; per-device shards must still
     clear the kernel gate unless the mode is forced 'on' (tests)."""
-    if _MODE == "off":
+    if mode == "off":
         return None
     from endosurf_tpu.parallel.mesh import current_mesh, mesh_active
     if not mesh_active():
@@ -149,9 +151,9 @@ def sampler_mesh(n_rays: int):
     mesh = current_mesh()
     if mesh is None or n_rays % mesh.size != 0:
         return None
-    if _MODE == "on":
+    if mode == "on":
         return mesh
-    if n_rays // mesh.size < _MIN_RAYS:
+    if n_rays // mesh.size < min_rays:
         return None
     try:
         if jax.default_backend() not in ("tpu", "axon"):
@@ -159,6 +161,14 @@ def sampler_mesh(n_rays: int):
     except Exception:
         return None
     return mesh
+
+
+def sampler_kernel_available(n_rays: int) -> bool:
+    return kernel_gate(_MODE, n_rays, _MIN_RAYS)
+
+
+def sampler_mesh(n_rays: int):
+    return kernel_mesh(_MODE, n_rays, _MIN_RAYS)
 
 
 # ---------------------------------------------------------------------------
