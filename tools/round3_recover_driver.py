@@ -93,6 +93,29 @@ def stage_en100k():
         "--exp-dir", "logs/en100k_default"])
 
 
+def stage_quality():
+    """Round-3 closing controls:
+
+    * es8k_kernels — the 8k orbit quality gate at the TRUE shipping config
+      (megakernel + sampler + march kernels all auto): every earlier
+      quality run pinned the kernels off for control consistency, while
+      the 40.4k bench headline has them on. Baseline to match (kernels
+      off): PSNR 22.55 / SSIM 0.444 / geo 10.21 mm.
+    * en8k_high — EndoNeRF 8k at "high": separates precision from seed in
+      the round-2 (11.18 mm @high) vs round-3 (7.43 mm @default) gap.
+    """
+    ok = run_validate("es8k_kernels", [
+        "--steps", "8000", "--orbit", "30", "--frames", "16",
+        "--mc-res", "96", "--precision", "default",
+        "--steps-per-call", "20", "--megakernel", "auto",
+        "--exp-dir", "logs/es8k_kernels"])
+    ok = run_validate("en8k_high", [
+        "--model", "endonerf", "--steps", "8000", "--orbit", "30",
+        "--frames", "16", "--mc-res", "96", "--precision", "high",
+        "--steps-per-call", "20", "--exp-dir", "logs/en8k_high"]) and ok
+    return ok
+
+
 def _find_cfg(exp_root):
     for root, _dirs, files in os.walk(exp_root):
         if "cfg.yml" in files:
@@ -144,7 +167,7 @@ def main():
     ok = True
     for st in stages:
         ok = {"sweep": stage_sweep, "demos": stage_demos,
-              "en100k": stage_en100k}[st]() and ok
+              "en100k": stage_en100k, "quality": stage_quality}[st]() and ok
     print(json.dumps({"driver_status": "ok" if ok else "incomplete",
                       "stages": stages}), flush=True)
     return 0 if ok else 1
