@@ -41,6 +41,13 @@ def main():
                          "sweep (kernels/fused_render.py); the default "
                          "measures the XLA-composed path vs the fused "
                          "dispatch in one process")
+    ap.add_argument("--model", default="endosurf",
+                    choices=["endosurf", "endonerf"],
+                    help="endonerf measures the baseline vertical's eval "
+                         "renderer (depth-guided sampling, slots 6/7 "
+                         "rewritten like eval_ray_transform); the render "
+                         "kernel serves EndoSurf only, so its sweep "
+                         "collapses to one row")
     args = ap.parse_args()
 
     import jax
@@ -61,13 +68,28 @@ def main():
     set_megakernel_mode(args.megakernel)
 
     scene = make_synthetic_arrays(n_frames=8, h=512, w=640)
-    spec, rspec = EndoSurfSpec(), RenderSpec()
-    params = init_endosurf_params(jax.random.PRNGKey(0), spec)
     arrays = scene.device_arrays
     step_f = jnp.asarray(100000.0)
 
     all_rays = np.asarray(
         frame_rays(arrays, scene.h, scene.w, 0)).reshape(-1, 9)
+    if args.model == "endonerf":
+        # eval_ray_transform equivalent: gt depth + sigma into slots 6/7
+        # (reference trainer_endonerf.py:163-165).
+        from endosurf_tpu.models.endonerf import (DNeRFRenderSpec,
+                                                  DNeRFSpec,
+                                                  init_dnerf_params)
+        from endosurf_tpu.models.endonerf import render_rays as dn_render
+        en_spec, en_rspec = DNeRFSpec(), DNeRFRenderSpec()
+        en_params = init_dnerf_params(jax.random.PRNGKey(0), en_spec)
+        all_rays = all_rays.copy()
+        all_rays[:, 6:7] = np.asarray(
+            arrays["depths"][0]).reshape(-1, 1)
+        all_rays[:, 7] = en_rspec.depth_sampling_sigma
+        args.render_kernel = ["n/a"]
+    else:
+        spec, rspec = EndoSurfSpec(), RenderSpec()
+        params = init_endosurf_params(jax.random.PRNGKey(0), spec)
     if args.limit:
         all_rays = all_rays[:args.limit]
 
@@ -76,11 +98,22 @@ def main():
     for rk_mode in args.render_kernel:
         # Fresh jit closures per mode: the render-kernel gate is read at
         # trace time, so a cached trace would pin the previous mode.
-        set_render_kernel_mode(rk_mode)
+        if args.model == "endonerf":
+            params = en_params
 
-        @jax.jit
-        def render(params, rays):
-            return render_rays_inference(spec, rspec, params, rays, step_f)
+            # want_normals=False matches the trainer's eval render_fn (the
+            # reference derives EndoNeRF display normals from depth).
+            @jax.jit
+            def render(params, rays):
+                return dn_render(en_spec, en_rspec, params, rays, key=None,
+                                 want_normals=False)
+        else:
+            set_render_kernel_mode(rk_mode)
+
+            @jax.jit
+            def render(params, rays):
+                return render_rays_inference(spec, rspec, params, rays,
+                                             step_f)
 
         for chunk in args.chunks:
           for cpc in args.chunks_per_call:
@@ -115,7 +148,8 @@ def main():
             float(np.asarray(out["color_map"]).ravel()[0])  # fence
             dt = time.perf_counter() - t0
             print(json.dumps({
-                "metric": "endosurf_eval_rays_per_sec", "ray_chunk": chunk,
+                "metric": f"{args.model}_eval_rays_per_sec",
+                "ray_chunk": chunk,
                 "chunks_per_call": cpc,
                 "value": round(done / dt, 1), "unit": "rays/s",
                 "precision": args.precision,

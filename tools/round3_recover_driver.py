@@ -113,7 +113,40 @@ def stage_quality():
         "--model", "endonerf", "--steps", "8000", "--orbit", "30",
         "--frames", "16", "--mc-res", "96", "--precision", "high",
         "--steps-per-call", "20", "--exp-dir", "logs/en8k_high"]) and ok
+    ok = _run_en_eval_bench() and ok
     return ok
+
+
+def _run_en_eval_bench():
+    """EndoNeRF serving-path throughput (the vertical had no eval
+    measurement); in-process like everything else in this driver."""
+    out_path = osp.join(RESULTS, "en_eval_bench.json")
+    if osp.exists(out_path):
+        print("[driver] skip en_eval_bench (done)", flush=True)
+        return True
+    print(f"[driver] === en_eval_bench start {time.ctime()} ===", flush=True)
+    import contextlib
+    import io
+    import bench_eval
+    old_argv = sys.argv
+    buf = io.StringIO()
+    try:
+        sys.argv = ["bench_eval.py", "--model", "endonerf",
+                    "--chunks", "2048", "--chunks-per-call", "1", "8",
+                    "--frames", "4"]
+        with contextlib.redirect_stdout(buf):
+            bench_eval.main()
+    except Exception:
+        traceback.print_exc()
+        return False
+    finally:
+        sys.argv = old_argv
+    rows = [json.loads(l) for l in buf.getvalue().splitlines()
+            if l.startswith("{")]
+    with open(out_path, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"[driver] === en_eval_bench done {time.ctime()} ===", flush=True)
+    return True
 
 
 def _find_cfg(exp_root):
