@@ -163,53 +163,77 @@ def _run_mlp(h, x_enc, layers, skips, activation, skip_scale, compute_dtype):
     return h
 
 
-def eval_sdf_inline(spec: EndoSurfSpec, n_deform: int, compute_dtype,
-                    xt: jnp.ndarray, consts, layers) -> jnp.ndarray:
-    """In-kernel fused deform+SDF evaluation on loaded VMEM values.
+def chain_from_spec(spec) -> Tuple:
+    """Static two-net chain config for :func:`eval_chain_inline`.
 
-    Shared by this kernel and the sampler megakernels
-    (kernels/fused_sampler.py), which build their own [B, 128] (x, t)
-    buffers in-kernel and call this per chunk.
+    Works for both field families: EndoSurfSpec (deform relu/1/sqrt2 ->
+    SDF softplus100/1/sqrt2) and DNeRFSpec (deform relu/1.0 -> density
+    relu/1.0 — no weight norm, unscaled skips, endonerf.py:320-352).
+    Returns (use_first, skips1, act1, scale1, skips2, act2, scale2).
+    """
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    if hasattr(spec, "sdf"):            # EndoSurfSpec
+        return (spec.use_deform, tuple(spec.deform.skips), "relu",
+                inv_sqrt2, tuple(spec.sdf.skips), "softplus100", inv_sqrt2)
+    return (spec.use_deform, tuple(spec.deform_layers[2]), "relu", 1.0,
+            tuple(spec.density_layers[2]), "relu", 1.0)
+
+
+def eval_chain_inline(chain: Tuple, n_first: int, compute_dtype,
+                      xt: jnp.ndarray, consts, layers) -> jnp.ndarray:
+    """In-kernel fused two-net chain (warp MLP -> field MLP head) on loaded
+    VMEM values.
+
+    Shared by the fused SDF/density kernels and the sampler/render
+    megakernels, which build their own [B, 128] (x, t) buffers in-kernel
+    and call this per chunk.
 
     Args:
+      chain: static config from :func:`chain_from_spec`.
       xt: [B, 128] values with (x0, x1, x2, t) in lanes 0..3.
-      consts: (s_deform, kind_deform [1, P], s_sdf, kind_sdf [1, P]) values.
-      layers: list of (w, b) values, deform layers first (n_deform of them).
-    Returns: sdf [B, 1] f32.
+      consts: (s_first, kind_first [1, P], s_second, kind_second [1, P]).
+      layers: list of (w, b) values, first-net layers first (n_first).
+    Returns: head value [B, 1] f32 (sdf, or raw pre-relu density).
     """
-    s_deform, kind_deform, s_sdf, kind_sdf = consts
-    deform_layers = layers[:n_deform]
-    sdf_layers = layers[n_deform:]
-    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    use_first, skips1, act1, scale1, skips2, act2, scale2 = chain
+    s_first, kind_first, s_second, kind_second = consts
+    first_layers = layers[:n_first]
+    second_layers = layers[n_first:]
 
-    if spec.use_deform:
-        v = jnp.dot(xt, s_deform, preferred_element_type=jnp.float32)
-        enc = _apply_encoding(v, kind_deform[:1, :])
-        dx = _run_mlp(enc, enc, deform_layers, spec.deform.skips, "relu",
-                      inv_sqrt2, compute_dtype)
+    if use_first:
+        v = jnp.dot(xt, s_first, preferred_element_type=jnp.float32)
+        enc = _apply_encoding(v, kind_first[:1, :])
+        dx = _run_mlp(enc, enc, first_layers, skips1, act1,
+                      scale1, compute_dtype)
         # x_c = x + dx, kept in the same padded [B, 128] (x, t) layout; the
         # dx block is [B, pad(3)] with zero weight columns past lane 2, and
-        # the sdf selector ignores the t lane.
+        # the field selector ignores the t lane.
         x_c_pad = xt + dx
     else:
         x_c_pad = xt
 
-    v_c = jnp.dot(x_c_pad, s_sdf, preferred_element_type=jnp.float32)
-    enc_c = _apply_encoding(v_c, kind_sdf[:1, :])
-    h = _run_mlp(enc_c, enc_c, sdf_layers, spec.sdf.skips, "softplus100",
-                 inv_sqrt2, compute_dtype)
+    v_c = jnp.dot(x_c_pad, s_second, preferred_element_type=jnp.float32)
+    enc_c = _apply_encoding(v_c, kind_second[:1, :])
+    h = _run_mlp(enc_c, enc_c, second_layers, skips2, act2,
+                 scale2, compute_dtype)
     return h[:, :1]
 
 
-def _kernel(spec: EndoSurfSpec, n_deform: int, compute_dtype, xt_ref,
-            *refs):
+def eval_sdf_inline(spec: EndoSurfSpec, n_deform: int, compute_dtype,
+                    xt: jnp.ndarray, consts, layers) -> jnp.ndarray:
+    """EndoSurf wrapper kept for the sampler/render megakernels."""
+    return eval_chain_inline(chain_from_spec(spec), n_deform, compute_dtype,
+                             xt, consts, layers)
+
+
+def _kernel(chain: Tuple, n_first: int, compute_dtype, xt_ref, *refs):
     out_ref = refs[-1]
     consts = tuple(r[...] for r in refs[:4])
     flat = refs[4:-1]
     layers = [(flat[2 * i][...], flat[2 * i + 1][...])
               for i in range(len(flat) // 2)]
-    out_ref[...] = eval_sdf_inline(spec, n_deform, compute_dtype,
-                                   xt_ref[...], consts, layers)
+    out_ref[...] = eval_chain_inline(chain, n_first, compute_dtype,
+                                     xt_ref[...], consts, layers)
 
 
 def build_sdf_eval_operands(spec: EndoSurfSpec, params: Dict[str, Any],
@@ -280,17 +304,70 @@ def build_sdf_eval_operands(spec: EndoSurfSpec, params: Dict[str, Any],
     return const_arrays, layer_arrays, n_deform
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "compute_dtype"))
-def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
-                       x: jnp.ndarray, t: jnp.ndarray,
-                       compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Drop-in forward-only replacement for fields.sdf_observed.
+def build_density_eval_operands(spec, params: Dict[str, Any],
+                                compute_dtype):
+    """DNeRF analog of :func:`build_sdf_eval_operands`: selector/kind
+    constants + padded layers for the deform -> density chain, with the
+    density output layer reduced to its sigma head column (the sampling
+    consumers never need the 256-d feature). ``spec`` is a DNeRFSpec
+    (models/endonerf.py; reference endonerf.py:320-352)."""
+    from endosurf_tpu.ops.encoding import freq_encode_dim
 
-    Args:
-      x: [N, 3] observed points; t: [N, 1] times. N is padded internally to a
-        multiple of BLOCK_N.
-    Returns: sdf [N, 1].
-    """
+    def pad_layers(layers, in_dim, skips):
+        extra = _round_up(in_dim) - in_dim
+        out = []
+        for l, (w, b) in enumerate(layers):
+            if extra and (l == 0 or l in skips):
+                w = jnp.concatenate(
+                    [w, jnp.zeros((extra, w.shape[1]), w.dtype)], axis=0)
+            out.append((w.astype(compute_dtype), b))
+        return out
+
+    def lift_rows(S: np.ndarray) -> jnp.ndarray:
+        full = np.zeros((128, S.shape[1]), np.float32)
+        full[:S.shape[0]] = S
+        return jnp.asarray(full)
+
+    layer_arrays: List[jnp.ndarray] = []
+    n_first = 0
+    if spec.use_deform:
+        d_in = (freq_encode_dim(3, spec.pos_deform_freqs)
+                + freq_encode_dim(1, spec.time_deform_freqs))
+        S_d, kind_d = encode_selector(
+            (3, 1), (spec.pos_deform_freqs, spec.time_deform_freqs),
+            _round_up(d_in))
+        deform = pad_layers(_effective_layers(params["deform"]),
+                            d_in, spec.deform_layers[2])
+        w_last, b_last = deform[-1]
+        w_full = jnp.zeros((w_last.shape[0], 128), w_last.dtype)
+        b_full = jnp.zeros((128,), b_last.dtype)
+        deform[-1] = (w_full.at[:, :3].set(w_last),
+                      b_full.at[:3].set(b_last))
+        n_first = len(deform)
+        for w, b in deform:
+            layer_arrays += [w, b]
+    else:
+        S_d = np.zeros((4, 128), np.float32)
+        kind_d = np.zeros((128,), np.int32)
+    den_in = freq_encode_dim(3, spec.pos_density_freqs)
+    S_s, kind_s = encode_selector((3,), (spec.pos_density_freqs,),
+                                  _round_up(den_in))
+    density = pad_layers(_effective_layers(params["density"]),
+                         den_in, spec.density_layers[2])
+    w_last, b_last = density[-1]
+    density[-1] = (w_last[:, :1], b_last[:1])     # sigma head only
+    for w, b in density:
+        layer_arrays += [w, b]
+
+    const_arrays = [lift_rows(S_d), jnp.asarray(kind_d)[None, :],
+                    lift_rows(S_s), jnp.asarray(kind_s)[None, :]]
+    return const_arrays, layer_arrays, n_first
+
+
+def _head_query(chain: Tuple, const_arrays, layer_arrays, n_first: int,
+                x: jnp.ndarray, t: jnp.ndarray, compute_dtype,
+                interpret: bool) -> jnp.ndarray:
+    """Shared pallas_call wrapper for the per-point head queries."""
     n = x.shape[0]
     block_n = min(BLOCK_N, _round_up(n, 128))
     n_pad = (-n) % block_n
@@ -300,9 +377,6 @@ def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
     if n_pad:
         xt = jnp.concatenate([xt, jnp.zeros((n_pad, 128), xt.dtype)], 0)
     n_total = xt.shape[0]
-
-    const_arrays, layer_arrays, n_deform = build_sdf_eval_operands(
-        spec, params, compute_dtype)
 
     grid = (n_total // block_n,)
     in_specs = [
@@ -318,11 +392,48 @@ def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
             memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, spec, n_deform, compute_dtype),
+        functools.partial(_kernel, chain, n_first, compute_dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_n, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_total, 1), jnp.float32),
+        interpret=interpret,
     )(xt, *const_arrays, *layer_arrays)
     return out[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "compute_dtype"))
+def fused_sdf_observed(spec: EndoSurfSpec, params: Dict[str, Any],
+                       x: jnp.ndarray, t: jnp.ndarray,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Drop-in forward-only replacement for fields.sdf_observed.
+
+    Args:
+      x: [N, 3] observed points; t: [N, 1] times. N is padded internally to a
+        multiple of BLOCK_N.
+    Returns: sdf [N, 1].
+    """
+    const_arrays, layer_arrays, n_deform = build_sdf_eval_operands(
+        spec, params, compute_dtype)
+    return _head_query(chain_from_spec(spec), const_arrays, layer_arrays,
+                       n_deform, x, t, compute_dtype, interpret=False)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "compute_dtype",
+                                             "interpret"))
+def fused_density_raw(spec, params: Dict[str, Any],
+                      x: jnp.ndarray, t: jnp.ndarray,
+                      compute_dtype=jnp.float32,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused forward-only DNeRF density query: RAW pre-relu sigma [N, 1].
+
+    Serves the stop-gradient sampling consumers of the EndoNeRF vertical —
+    the coarse importance pass (models/endonerf.py render_rays; the caller
+    adds the train-time Gaussian noise and the relu, both elementwise) and
+    dense grid extraction (density_observed callers apply relu as needed).
+    """
+    const_arrays, layer_arrays, n_first = build_density_eval_operands(
+        spec, params, compute_dtype)
+    return _head_query(chain_from_spec(spec), const_arrays, layer_arrays,
+                       n_first, x, t, compute_dtype, interpret=interpret)

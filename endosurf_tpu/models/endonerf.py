@@ -156,10 +156,31 @@ def field_eval(spec: DNeRFSpec, params: Params, x, d, t,
     return rgb, sigma
 
 
-def density_observed(spec: DNeRFSpec, params: Params, x, t):
-    """Density query for isosurface extraction (endonerf.py:450-467)."""
+def _raw_sigma_sampling(spec: DNeRFSpec, params: Params, x, t):
+    """RAW (pre-relu, pre-noise) density for *sampling-only* consumers.
+
+    Large TPU batches ride the fused Pallas chain kernel
+    (kernels/fused_sdf.py::fused_density_raw — deform + density in one
+    VMEM-resident dispatch, sigma head only); everything else falls back
+    to the jnp chain. Mirrors endosurf.py::_sdf_sampling.
+    """
+    from endosurf_tpu.kernels.fused_sdf import (fused_density_raw,
+                                                fused_sdf_available)
+    if fused_sdf_available(x.shape[0]):
+        from endosurf_tpu.models.endosurf import _sampling_compute_dtype
+        return fused_density_raw(spec, params, x, t,
+                                 compute_dtype=_sampling_compute_dtype())
     x_c = _warp(spec, params, x, t)
     return _density_feat(spec, params, x_c)[..., :1]
+
+
+def density_observed(spec: DNeRFSpec, params: Params, x, t):
+    """Density query for isosurface extraction (endonerf.py:450-467).
+
+    Raw head value (the reference thresholds raw density); big batches
+    (demo grids) dispatch to the fused Pallas kernel on TPU.
+    """
+    return _raw_sigma_sampling(spec, params, x, t)
 
 
 def density_grad_observed(spec: DNeRFSpec, params: Params, x, t):
@@ -255,10 +276,28 @@ def render_rays(spec: DNeRFSpec, rspec: DNeRFRenderSpec, params: Params,
     if rspec.n_importance > 0:
         # Sampling-only coarse pass (endonerf.py:82-91 under no_grad): runs at
         # the sampling matmul precision — it only shapes the importance CDF.
+        # Only sigma matters (the coarse rgb is discarded by raw2outputs'
+        # unused outputs), so the query is sigma-only and rides the fused
+        # density chain kernel on TPU (kernels/fused_sdf.py). Noise + relu
+        # stay outside the query, exactly as field_eval applies them.
         with sampling_precision_scope():
-            rgb_c, sigma_c, _, _ = jax.lax.stop_gradient(
-                eval_at(z_vals, k_noise_c))
-        _, _, weights_c = raw2outputs(rgb_c, sigma_c, z_vals, rays_d)
+            sg_params = jax.lax.stop_gradient(params)
+            pts_c = (rays_o[:, None, :]
+                     + rays_d_z[:, None, :] * z_vals[..., None])
+            tt_c = jnp.broadcast_to(t[:, None, :],
+                                    (n_rays, z_vals.shape[1], 1))
+            raw_c = _raw_sigma_sampling(
+                spec, sg_params,
+                jax.lax.stop_gradient(pts_c).reshape(-1, 3),
+                tt_c.reshape(-1, 1))[:, 0]
+            if k_noise_c is not None and spec.raw_noise_std > 0:
+                raw_c = raw_c + spec.raw_noise_std * jax.random.normal(
+                    k_noise_c, raw_c.shape, raw_c.dtype)
+            sigma_c = jax.nn.relu(
+                jax.lax.stop_gradient(raw_c)).reshape(n_rays, -1)
+        _, _, weights_c = raw2outputs(
+            jnp.zeros(sigma_c.shape + (3,), sigma_c.dtype), sigma_c,
+            z_vals, rays_d)
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         # det=perturb quirk reproduced from endonerf.py:93: perturbed
         # training uses the deterministic midpoint rule for importance z.
