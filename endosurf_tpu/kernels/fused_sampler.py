@@ -175,7 +175,8 @@ def sampler_mesh(n_rays: int):
 # constant operands
 # ---------------------------------------------------------------------------
 
-_BITONIC_DS = (32, 16, 8, 4, 2, 1)
+_BITONIC_DS = (32, 16, 8, 4, 2, 1)        # 64-lane merge window stages
+_SHL_DS = (64,) + _BITONIC_DS             # packed shifts (128-lane merge adds d=64)
 _SCAN_DS = (1, 2, 4, 8, 16, 32, 64)
 
 
@@ -185,23 +186,23 @@ def _np_consts() -> Dict[str, np.ndarray]:
     # y = x @ tri -> y[:, j] = sum_{k <= j} x[:, k]  (inclusive prefix sum)
     tri = np.triu(np.ones((n, n), np.float32))             # tri[k, j]=1, k<=j
     # y = x @ shl_d  -> y[:, j] = x[:, j + d]  (zeros shifted in)
-    shl = {d: np.eye(n, n, -d, dtype=np.float32) for d in _BITONIC_DS}
+    shl = {d: np.eye(n, n, -d, dtype=np.float32) for d in _SHL_DS}
     # y = x @ shr_d  -> y[:, j] = x[:, j - d]
     shr = {d: np.eye(n, n, d, dtype=np.float32) for d in _SCAN_DS}
     iota = np.arange(n, dtype=np.float32)[None, :]
     lin = (iota / (n - 1)).astype(np.float32)
     arange_rev = np.arange(n, 0, -1, dtype=np.float32)[None, :]
     misc = [iota, lin, arange_rev]
-    for d in _BITONIC_DS[::-1]:                            # rows 3.. d=1,2,..32
+    for d in _SHL_DS[::-1]:                      # rows 3.. d=1,2,..,64
         misc.append(((np.arange(n) % (2 * d)) < d).astype(np.float32)[None])
     return {"tri": tri, "shl": shl, "shr": shr,
-            "misc": np.concatenate(misc, axis=0)}          # [9, 128]
+            "misc": np.concatenate(misc, axis=0)}          # [10, 128]
 
 
 def _matrix_operands() -> List[jnp.ndarray]:
     c = _np_consts()
     mats = [jnp.asarray(c["tri"])]
-    mats += [jnp.asarray(c["shl"][d]) for d in _BITONIC_DS]
+    mats += [jnp.asarray(c["shl"][d]) for d in _SHL_DS]
     mats += [jnp.asarray(c["shr"][d]) for d in _SCAN_DS]
     mats.append(jnp.asarray(c["misc"]))
     return mats
@@ -209,8 +210,8 @@ def _matrix_operands() -> List[jnp.ndarray]:
 
 def _unpack_matrices(vals: Sequence[jnp.ndarray]):
     tri = vals[0]
-    shl = dict(zip(_BITONIC_DS, vals[1:1 + len(_BITONIC_DS)]))
-    off = 1 + len(_BITONIC_DS)
+    shl = dict(zip(_SHL_DS, vals[1:1 + len(_SHL_DS)]))
+    off = 1 + len(_SHL_DS)
     shr = dict(zip(_SCAN_DS, vals[off:off + len(_SCAN_DS)]))
     misc = vals[off + len(_SCAN_DS)]
     return tri, shl, shr, misc
@@ -281,6 +282,18 @@ def _bitonic_merge_64(z, sdf, shl, shr, misc):
             sdf = jnp.where(took, partner_s, sdf)
         z = jnp.where(took, partner, z)
     return z, sdf
+
+
+def _bitonic_merge_128(z, shl, shr, misc):
+    """Sort all 128 lanes of ``z`` given the bitonic precondition
+    (64 ascending ++ 64 descending): compare-exchange stages d = 64..1."""
+    for d in _SHL_DS:
+        fh = misc[3 + int(math.log2(d)):4 + int(math.log2(d)), :] == 1.0
+        partner = jnp.where(fh, _mm(z, shl[d]), _mm(z, shr[d]))
+        took = jnp.where(fh, (partner < z).astype(z.dtype),
+                         (partner > z).astype(z.dtype)) > 0.5
+        z = jnp.where(took, partner, z)
+    return z
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +379,7 @@ def _upsample_kernel(spec, rspec_tuple, n_deform, compute_dtype,
     n0, k_new, n_rounds = rspec_tuple
     out_ref = refs[-1]
     consts = tuple(r[...] for r in refs[:4])
-    n_mat = 1 + len(_BITONIC_DS) + len(_SCAN_DS) + 1
+    n_mat = 1 + len(_SHL_DS) + len(_SCAN_DS) + 1
     flat = refs[4:-(1 + n_mat)]
     layers = [(flat[2 * i][...], flat[2 * i + 1][...])
               for i in range(len(flat) // 2)]
@@ -505,7 +518,7 @@ def _march_kernel(spec, cfg, n_deform, compute_dtype,
     n_steps, n_secant, tau = cfg
     depth_ref, valid_ref = refs[-2], refs[-1]
     consts = tuple(r[...] for r in refs[:4])
-    n_mat = 1 + len(_BITONIC_DS) + len(_SCAN_DS) + 1
+    n_mat = 1 + len(_SHL_DS) + len(_SCAN_DS) + 1
     flat = refs[4:-(2 + n_mat)]
     layers = [(flat[2 * i][...], flat[2 * i + 1][...])
               for i in range(len(flat) // 2)]
@@ -637,3 +650,119 @@ def fused_ray_march(spec: EndoSurfSpec, params: Dict[str, Any],
         interpret=interpret,
     )(o3, d3, nf, *const_arrays, *layer_arrays, *mats)
     return depth[:n], valid[:n] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# EndoNeRF fine-resample kernel (coarse weights -> inverse-CDF -> merge-sort)
+# ---------------------------------------------------------------------------
+
+def fine_resample_shape_supported(n_samples: int, n_importance: int) -> bool:
+    """64 coarse lanes + 64 draws fill the 128-lane merge exactly."""
+    return n_samples == 64 and n_importance == 64
+
+
+def _fine_resample_kernel(cfg, z_ref, sig_ref, dn_ref, *refs):
+    """One ray block of the DNeRF importance resampling
+    (models/endonerf.py render_rays; reference endonerf.py:82-104):
+
+      coarse weights (1 - exp(-sigma*dist) compositing, eps 1e-10)
+      -> midpoint bins -> deterministic inverse-CDF draws (det=perturb
+      quirk: u_j = (j+0.5)/64) -> 128-lane bitonic merge of old + new z.
+
+    Inputs: z [R, 128] (lanes 0..63 sorted coarse z, BIG above), sig
+    [R, 128] (coarse sigma, post noise+relu), dn [R, 128] (|rays_d| lane 0).
+    Output: z_all [R, 128] sorted ascending.
+    """
+    n0, n_new = cfg
+    out_ref = refs[-1]
+    tri, shl, shr, misc = _unpack_matrices([r[...] for r in refs[:-1]])
+    iota = misc[0:1, :]
+
+    z = z_ref[...]
+    sig = sig_ref[...]
+    dn = _lane_extract(dn_ref[...], iota, 0)
+
+    on = iota < float(n0)
+    z_next = _mm(z, shl[1])
+    # raw2outputs: dists tail 1e10, scaled by |rays_d| (endonerf.py:168-182)
+    dists = jnp.where(iota < float(n0 - 1), z_next - z, 1.0e10) * dn
+    alpha = jnp.where(on, 1.0 - jnp.exp(-sig * dists), 0.0)
+    trans = _prefix_prod(jnp.where(on, 1.0 - alpha + 1e-10, 1.0), shr, iota)
+    trans_excl = jnp.where(iota >= 1, _mm(trans, shr[1]), 1.0)
+    w = alpha * trans_excl
+
+    # sample_pdf(bins=z_mid [63], weights=w[1..62]) — ops/pdf.py semantics.
+    z_mid = jnp.where(iota < float(n0 - 1), 0.5 * (z + z_next), BIG)
+    w_sec = _mm(w, shl[1])                              # lane k = w[k+1]
+    w_sec = jnp.where(iota < float(n0 - 2), w_sec + 1e-5, 0.0)
+    pdf = w_sec / jnp.sum(w_sec, axis=-1, keepdims=True)
+    cdf = jnp.where(iota >= 1, _mm(_mm(pdf, tri), shr[1]), 0.0)
+    n_bins = n0 - 1
+    cdf_s = jnp.where(iota < float(n_bins), cdf, 2.0)   # sentinel > any u
+
+    def _draw(j, z_acc):
+        u = (j + 0.5) / n_new
+        inds = jnp.sum((cdf_s <= u).astype(z.dtype), axis=-1, keepdims=True)
+        below = jnp.maximum(inds - 1.0, 0.0)
+        above = jnp.minimum(inds, float(n_bins - 1))
+        cdf_b = _lane_extract(cdf, iota, below)
+        cdf_a = _lane_extract(cdf, iota, above)
+        z_b = _lane_extract(z_mid, iota, below)
+        z_a = _lane_extract(z_mid, iota, above)
+        denom = cdf_a - cdf_b
+        denom = jnp.where(denom < 1e-5, 1.0, denom)
+        tt = (u - cdf_b) / denom
+        new_z = z_b + tt * (z_a - z_b)
+        # Draws ascend with j; writing to lane 127-j leaves lanes 64..127
+        # DESCENDING: ascending ++ descending == bitonic over 128 lanes.
+        return jnp.where(iota == float(2 * LANES // 2 - 1) - j, new_z, z_acc)
+
+    z = jax.lax.fori_loop(0, n_new, _draw, z)
+    out_ref[...] = _bitonic_merge_128(z, shl, shr, misc)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_fine_resample(z_vals: jnp.ndarray, sigma_c: jnp.ndarray,
+                        d_norm: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Whole-loop replacement for the DNeRF importance-resampling glue
+    (raw2outputs weights + sample_pdf + concat + sort — the 9.15 ms
+    "pdf_glue" piece of the EndoNeRF step attribution, logs/
+    r3_profile_endonerf.log) as ONE dispatch per ray block.
+
+    Args:
+      z_vals: [R, 64] sorted coarse depths.
+      sigma_c: [R, 64] coarse density AFTER train-noise + relu.
+      d_norm: [R, 1] |rays_d| (the reference scales dists by it).
+    Returns: z_all [R, 128] sorted ascending (old 64 merged with 64
+      deterministic inverse-CDF draws).
+    """
+    n, n0 = z_vals.shape
+    assert fine_resample_shape_supported(n0, LANES - n0), (n0,)
+    block_r = min(BLOCK_R, max(8, 1 << (n - 1).bit_length()))
+    n_total = ((n + block_r - 1) // block_r) * block_r
+
+    z = jnp.concatenate(
+        [z_vals.astype(jnp.float32),
+         jnp.full((n, LANES - n0), BIG, jnp.float32)], axis=-1)
+    sig = jnp.concatenate(
+        [sigma_c.astype(jnp.float32),
+         jnp.zeros((n, LANES - n0), jnp.float32)], axis=-1)
+    dn = jnp.concatenate(
+        [d_norm.astype(jnp.float32),
+         jnp.zeros((n, LANES - 1), jnp.float32)], axis=-1)
+    z, sig, dn = (_pad_rows(x, n_total) for x in (z, sig, dn))
+
+    mats = _matrix_operands()
+    grid = (n_total // block_r,)
+    row_spec = pl.BlockSpec((block_r, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fine_resample_kernel, (n0, LANES - n0)),
+        grid=grid,
+        in_specs=[row_spec] * 3 + _const_specs(mats),
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((n_total, LANES), jnp.float32),
+        interpret=interpret,
+    )(z, sig, dn, *mats)
+    return out[:n]

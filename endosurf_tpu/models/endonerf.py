@@ -295,18 +295,49 @@ def render_rays(spec: DNeRFSpec, rspec: DNeRFRenderSpec, params: Params,
                     k_noise_c, raw_c.shape, raw_c.dtype)
             sigma_c = jax.nn.relu(
                 jax.lax.stop_gradient(raw_c)).reshape(n_rays, -1)
-        _, _, weights_c = raw2outputs(
-            jnp.zeros(sigma_c.shape + (3,), sigma_c.dtype), sigma_c,
-            z_vals, rays_d)
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         # det=perturb quirk reproduced from endonerf.py:93: perturbed
         # training uses the deterministic midpoint rule for importance z.
-        z_samples = sample_pdf(
-            z_mid, weights_c[..., 1:-1], rspec.n_importance,
-            key=None if (rspec.perturb or k_z is None) else k_z)
-        z_vals = jnp.sort(
-            jnp.concatenate([z_vals, jax.lax.stop_gradient(z_samples)], -1),
-            axis=-1)
+        det_draws = rspec.perturb or k_z is None
+        from endosurf_tpu.kernels.fused_sampler import (
+            fine_resample_shape_supported,
+            fused_fine_resample,
+            sampler_kernel_available,
+            sampler_mesh,
+        )
+        shapes_ok = det_draws and fine_resample_shape_supported(
+            z_vals.shape[1], rspec.n_importance)
+        rs_mesh = sampler_mesh(n_rays) if shapes_ok else None
+        if shapes_ok and (sampler_kernel_available(n_rays)
+                          or rs_mesh is not None):
+            # Whole resampling stage (coarse weights -> inverse-CDF draws
+            # -> 128-lane merge sort) as ONE Pallas dispatch — the
+            # "pdf_glue" piece of the step attribution.
+            from endosurf_tpu.models.endosurf import _sampler_interpret
+            d_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+            def _rs(z, s, dn):
+                return fused_fine_resample(
+                    z, s, dn, interpret=_sampler_interpret())
+
+            if rs_mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+                _rs = shard_map(_rs, mesh=rs_mesh,
+                                in_specs=(P("data"),) * 3,
+                                out_specs=P("data"), check_vma=False)
+            z_vals = jax.lax.stop_gradient(_rs(z_vals, sigma_c, d_norm))
+        else:
+            _, _, weights_c = raw2outputs(
+                jnp.zeros(sigma_c.shape + (3,), sigma_c.dtype), sigma_c,
+                z_vals, rays_d)
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sample_pdf(
+                z_mid, weights_c[..., 1:-1], rspec.n_importance,
+                key=None if det_draws else k_z)
+            z_vals = jnp.sort(
+                jnp.concatenate(
+                    [z_vals, jax.lax.stop_gradient(z_samples)], -1),
+                axis=-1)
 
     rgb, sigma, pts, tt = eval_at(z_vals, k_noise_f)
     rgb_map, depth_map, weights = raw2outputs(rgb, sigma, z_vals, rays_d)

@@ -165,3 +165,73 @@ def test_march_kernel_gate():
     finally:
         fs.set_sampler_kernel_mode("auto")
         fs.set_march_kernel_mode("auto")
+
+
+def test_fine_resample_parity():
+    """The DNeRF importance-resample kernel (coarse weights -> det draws ->
+    128-lane bitonic merge) matches the jnp glue (raw2outputs weights +
+    sample_pdf + sort) to f32 tolerance."""
+    import jax.numpy as jnp
+
+    from endosurf_tpu.models.endonerf import raw2outputs
+    from endosurf_tpu.ops.pdf import sample_pdf
+
+    n, n0 = 64, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    z = jnp.sort(jax.random.uniform(k1, (n, n0), minval=0.5, maxval=1.5),
+                 axis=-1)
+    sigma = jax.nn.relu(jax.random.normal(k2, (n, n0)) * 3.0)
+    rays_d = jax.random.normal(k3, (n, 3))
+    d_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    _, _, w = raw2outputs(jnp.zeros((n, n0, 3)), sigma, z, rays_d)
+    z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+    z_s = sample_pdf(z_mid, w[..., 1:-1], 64, key=None)
+    ref = np.asarray(jnp.sort(jnp.concatenate([z, z_s], -1), axis=-1))
+
+    got = np.asarray(fs.fused_fine_resample(z, sigma, d_norm,
+                                            interpret=True))
+    assert got.shape == (n, 128)
+    assert np.all(np.diff(got, axis=-1) >= 0)
+    # atol: the in-kernel CDF (triangular-matmul prefix sum) rounds
+    # differently from XLA's cumsum, so a draw sitting exactly on a bin
+    # boundary can land one bin over (~1e-4-scale z shift on O(1) depths;
+    # observed 1/8192 elements). Sampling positions are stop-gradient
+    # inputs, so this is measure-zero jitter, not bias.
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_endonerf_render_resample_dispatch():
+    """EndoNeRF render_rays with the sampler kernel forced on (interpreted)
+    matches the jnp path end-to-end at the kernel-supported shape."""
+    import jax.numpy as jnp
+
+    from endosurf_tpu.models.endonerf import (DNeRFRenderSpec, DNeRFSpec,
+                                              init_dnerf_params)
+    from endosurf_tpu.models.endonerf import render_rays as dn_render
+
+    spec = DNeRFSpec(deform_layers=(3, 64, (1,)),
+                     density_layers=(3, 64, (1,)),
+                     color_layers=(2, 32, ()), geo_feat_dim=32)
+    params = init_dnerf_params(jax.random.PRNGKey(0), spec)
+    rspec = DNeRFRenderSpec(n_samples=64, n_importance=64)
+    n = 32
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    o = jnp.concatenate([jax.random.uniform(k1, (n, 2), minval=-0.2,
+                                            maxval=0.2),
+                         jnp.full((n, 1), -1.5)], -1)
+    d = jnp.concatenate([jnp.zeros((n, 2)), jnp.ones((n, 1))], -1)
+    rays = jnp.concatenate(
+        [o, d, jnp.full((n, 1), 1.2), jnp.full((n, 1), 0.1),
+         jax.random.uniform(k2, (n, 1))], -1)
+    try:
+        fs.set_sampler_kernel_mode("off")
+        ref = dn_render(spec, rspec, params, rays, key=None)
+        fs.set_sampler_kernel_mode("on")
+        got = dn_render(spec, rspec, params, rays, key=None)
+    finally:
+        fs.set_sampler_kernel_mode("auto")
+    np.testing.assert_allclose(np.asarray(got["color_map"]),
+                               np.asarray(ref["color_map"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["depth_map"]),
+                               np.asarray(ref["depth_map"]), atol=1e-4)
