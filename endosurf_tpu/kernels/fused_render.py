@@ -13,8 +13,8 @@ touches HBM.
 Construction reuses the proven in-kernel pieces:
 
   * upsampling rounds + lane-layout helpers: kernels/fused_sampler.py
-    (bitonic merges, prefix products via constant matmuls, chunked in-kernel
-    SDF sweeps);
+    (bitonic merges and prefix scans on exact pltpu.roll lane shifts,
+    chunked in-kernel SDF sweeps);
   * the full field evaluation: kernels/fused_train.py's ``forward_math`` —
     the same hand-laid lane-aligned math the training megakernel runs
     (stacked Jacobian tangents, in-forward SDF adjoint, split-skip color
@@ -59,6 +59,7 @@ from endosurf_tpu.kernels.fused_sampler import (
     _pad_rows,
     _prefix_prod,
     _ray_buffers,
+    _shl,
     _unpack_matrices,
     _upsample_round,
 )
@@ -129,8 +130,7 @@ def _render_kernel(spec, cfg, n_deform, sampling_dtype, counts, eff_def,
     pos += n_sel
     eff_leaves = [r[...] for r in refs[pos:pos + n_eff]]
     pos += n_eff
-    tri, shl, shr, misc = _unpack_matrices(
-        [r[...] for r in refs[pos:pos + n_mat]])
+    misc = _unpack_matrices([r[...] for r in refs[pos:pos + n_mat]])
     iota = misc[0:1, :]
 
     eff = jax.tree_util.tree_unflatten(eff_def, eff_leaves)
@@ -176,13 +176,13 @@ def _render_kernel(spec, cfg, n_deform, sampling_dtype, counts, eff_def,
     for i in range(n_rounds):
         z, sdf = _upsample_round(
             spec, n_deform, sampling_dtype, sdf_consts, sdf_layers,
-            tri, shl, shr, misc, o3, d3, a, b, c,
+            misc, o3, d3, a, b, c,
             z, sdf, n0 + i * k_new, k_new, 64.0 * 2 ** i,
             last=(i + 1 == n_rounds))
 
     # --- section midpoints (render_core, endosurf.py:134-160) -------------
     on = iota < float(n_final)
-    z_next = jnp.dot(z, shl[1], preferred_element_type=jnp.float32)
+    z_next = _shl(z, 1, iota)
     dists = jnp.where(iota < float(n_final - 1), z_next - z, sample_dist)
     dists = jnp.where(on, dists, 0.0)
     mid = jnp.where(on, z + dists * 0.5, 0.0)
@@ -239,11 +239,8 @@ def _render_kernel(spec, cfg, n_deform, sampling_dtype, counts, eff_def,
     alpha = jnp.clip((prev_cdf - next_cdf + 1e-6) / (prev_cdf + 1e-6),
                      0.0, 1.0)
     alpha = jnp.where(on, alpha, 0.0)
-    trans = _prefix_prod(jnp.where(on, 1.0 - alpha + 1e-7, 1.0), shr, iota)
-    trans_excl = jnp.where(iota >= 1,
-                           jnp.dot(trans, shr[1],
-                                   preferred_element_type=jnp.float32),
-                           1.0)
+    trans = _prefix_prod(jnp.where(on, 1.0 - alpha + 1e-7, 1.0), iota)
+    trans_excl = jnp.where(iota >= 1, pltpu.roll(trans, 1, 1), 1.0)
     w = alpha * trans_excl
 
     def wsum(x):

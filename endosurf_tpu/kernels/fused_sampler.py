@@ -22,9 +22,11 @@ small-tensor work. These kernels run the ENTIRE loop in VMEM:
 Layout: rays live on the SUBLANE axis, samples on the LANE axis (one
 [R_block, 128] tile per quantity). TPU-hostile ops are reformulated:
 
-  * cumsum           -> one matmul with a constant triangular matrix
-  * cumprod          -> Hillis-Steele prefix product (7 shift-multiplies)
-  * lane shifts      -> matmuls with constant shift matrices (no relayouts)
+  * cumsum/cumprod   -> Hillis-Steele prefix scans (7 shift-add/multiply
+                        stages on exact pltpu.roll lane shifts)
+  * lane shifts      -> pltpu.roll (exact; matmuls with constant shift
+                        matrices quantized values to bf16 — see
+                        _unpack_matrices)
   * searchsorted     -> masked compare + lane-reduce (ops/pdf.py already
                         uses this form; here it stays in VMEM)
   * gather           -> one-hot lane mask + lane-reduce
@@ -183,42 +185,42 @@ _SCAN_DS = (1, 2, 4, 8, 16, 32, 64)
 @functools.lru_cache(maxsize=None)
 def _np_consts() -> Dict[str, np.ndarray]:
     n = LANES
-    # y = x @ tri -> y[:, j] = sum_{k <= j} x[:, k]  (inclusive prefix sum)
-    tri = np.triu(np.ones((n, n), np.float32))             # tri[k, j]=1, k<=j
-    # y = x @ shl_d  -> y[:, j] = x[:, j + d]  (zeros shifted in)
-    shl = {d: np.eye(n, n, -d, dtype=np.float32) for d in _SHL_DS}
-    # y = x @ shr_d  -> y[:, j] = x[:, j - d]
-    shr = {d: np.eye(n, n, d, dtype=np.float32) for d in _SCAN_DS}
     iota = np.arange(n, dtype=np.float32)[None, :]
     lin = (iota / (n - 1)).astype(np.float32)
     arange_rev = np.arange(n, 0, -1, dtype=np.float32)[None, :]
     misc = [iota, lin, arange_rev]
     for d in _SHL_DS[::-1]:                      # rows 3.. d=1,2,..,64
         misc.append(((np.arange(n) % (2 * d)) < d).astype(np.float32)[None])
-    return {"tri": tri, "shl": shl, "shr": shr,
-            "misc": np.concatenate(misc, axis=0)}          # [10, 128]
+    return {"misc": np.concatenate(misc, axis=0)}          # [10, 128]
 
 
 def _matrix_operands() -> List[jnp.ndarray]:
-    c = _np_consts()
-    mats = [jnp.asarray(c["tri"])]
-    mats += [jnp.asarray(c["shl"][d]) for d in _SHL_DS]
-    mats += [jnp.asarray(c["shr"][d]) for d in _SCAN_DS]
-    mats.append(jnp.asarray(c["misc"]))
-    return mats
+    return [jnp.asarray(_np_consts()["misc"])]
 
 
 def _unpack_matrices(vals: Sequence[jnp.ndarray]):
-    tri = vals[0]
-    shl = dict(zip(_SHL_DS, vals[1:1 + len(_SHL_DS)]))
-    off = 1 + len(_SHL_DS)
-    shr = dict(zip(_SCAN_DS, vals[off:off + len(_SCAN_DS)]))
-    misc = vals[off + len(_SCAN_DS)]
-    return tri, shl, shr, misc
+    """Kept for call-site symmetry: the lane machinery now runs on exact
+    ``pltpu.roll`` shifts instead of matmuls with constant shift/triangular
+    matrices. The matmul form quantized the shifted VALUES: Mosaic's default
+    dot precision is one bf16 pass (~0.4% relative rounding) — catastrophic
+    for tightly-spaced depth samples (neighbouring z collapse to equal,
+    section widths cancel to noise, per-lane-rounded prefix sums go
+    non-monotonic; observed as the fine-resample kernel extrapolating draws
+    far outside the bin range, logs/tpu_resample_diag.log), and requesting
+    HIGHEST made the biggest kernel fail to compile. Rolls are exact, need
+    no MXU passes, and drop ~1 MB of constant operands."""
+    return vals[0]
 
 
-def _mm(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, m, preferred_element_type=jnp.float32)
+def _shl(x: jnp.ndarray, d: int, iota: jnp.ndarray) -> jnp.ndarray:
+    """y[:, j] = x[:, j + d] (zeros shifted in). Exact."""
+    return jnp.where(iota < float(LANES - d),
+                     pltpu.roll(x, LANES - d, 1), 0.0)
+
+
+def _shr(x: jnp.ndarray, d: int, iota: jnp.ndarray) -> jnp.ndarray:
+    """y[:, j] = x[:, j - d] (zeros shifted in). Exact."""
+    return jnp.where(iota >= float(d), pltpu.roll(x, d, 1), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -257,39 +259,53 @@ def _cols_to_lanes(cols: List[jnp.ndarray], lanes: Sequence[int],
     return out
 
 
-def _prefix_prod(x: jnp.ndarray, shr, iota) -> jnp.ndarray:
+def _prefix_prod(x: jnp.ndarray, iota) -> jnp.ndarray:
     """Inclusive prefix product along lanes (Hillis-Steele, 7 steps)."""
     p = x
     for d in _SCAN_DS:
-        pd = jnp.where(iota >= d, _mm(p, shr[d]), 1.0)
+        pd = jnp.where(iota >= float(d), pltpu.roll(p, d, 1), 1.0)
         p = p * pd
     return p
 
 
-def _bitonic_merge_64(z, sdf, shl, shr, misc):
+def _prefix_sum_excl(x: jnp.ndarray, iota) -> jnp.ndarray:
+    """EXCLUSIVE prefix sum along lanes: y[j] = sum_{k < j} x[k]."""
+    p = x
+    for d in _SCAN_DS:
+        p = p + jnp.where(iota >= float(d), pltpu.roll(p, d, 1), 0.0)
+    return _shr(p, 1, iota)
+
+
+def _roll_partner(x, d, fh):
+    """Bitonic compare-exchange partner: lane j+d on the first half, j-d on
+    the second. No masking needed — within a 2d block the selected partner
+    never crosses the 128-lane boundary, so wrap values are never chosen."""
+    return jnp.where(fh, pltpu.roll(x, LANES - d, 1), pltpu.roll(x, d, 1))
+
+
+def _bitonic_merge_64(z, sdf, misc):
     """Sort lanes 0..63 of ``z`` (and co-move ``sdf``) given the bitonic
     precondition (ascending reals ++ BIG ++ descending new). Stages run on
     all 128 lanes; the upper constant-BIG block is invariant."""
     for d in _BITONIC_DS:
         fh = misc[3 + int(math.log2(d)):4 + int(math.log2(d)), :] == 1.0
-        partner = jnp.where(fh, _mm(z, shl[d]), _mm(z, shr[d]))
+        partner = _roll_partner(z, d, fh)
         # Exchange decision as f32 0/1 (Mosaic rejects selects BETWEEN i1
         # vectors): first half takes the smaller partner, second the larger.
         took = jnp.where(fh, (partner < z).astype(z.dtype),
                          (partner > z).astype(z.dtype)) > 0.5
         if sdf is not None:
-            partner_s = jnp.where(fh, _mm(sdf, shl[d]), _mm(sdf, shr[d]))
-            sdf = jnp.where(took, partner_s, sdf)
+            sdf = jnp.where(took, _roll_partner(sdf, d, fh), sdf)
         z = jnp.where(took, partner, z)
     return z, sdf
 
 
-def _bitonic_merge_128(z, shl, shr, misc):
+def _bitonic_merge_128(z, misc):
     """Sort all 128 lanes of ``z`` given the bitonic precondition
     (64 ascending ++ 64 descending): compare-exchange stages d = 64..1."""
     for d in _SHL_DS:
         fh = misc[3 + int(math.log2(d)):4 + int(math.log2(d)), :] == 1.0
-        partner = jnp.where(fh, _mm(z, shl[d]), _mm(z, shr[d]))
+        partner = _roll_partner(z, d, fh)
         took = jnp.where(fh, (partner < z).astype(z.dtype),
                          (partner > z).astype(z.dtype)) > 0.5
         z = jnp.where(took, partner, z)
@@ -301,7 +317,7 @@ def _bitonic_merge_128(z, shl, shr, misc):
 # ---------------------------------------------------------------------------
 
 def _upsample_round(spec, n_deform, compute_dtype, consts, layers,
-                    tri, shl, shr, misc, o3, d3, a, b, c,
+                    misc, o3, d3, a, b, c,
                     z, sdf, s_cur: int, k_new: int, inv_s: float,
                     last: bool):
     iota = misc[0:1, :]
@@ -310,16 +326,14 @@ def _upsample_round(spec, n_deform, compute_dtype, consts, layers,
     # radius at each sample: |o + z d|^2 = a + 2 b z + c z^2 (per-ray a,b,c)
     radius = jnp.sqrt(jnp.maximum(a + 2.0 * b * z + c * z * z, 0.0))
 
-    z_next = _mm(z, shl[1])
-    sdf_next = _mm(sdf, shl[1])
-    rad_next = _mm(radius, shl[1])
+    z_next = _shl(z, 1, iota)
+    sdf_next = _shl(sdf, 1, iota)
+    rad_next = _shl(radius, 1, iota)
 
     # upsample_weights_from_sdf (ops/neus.py; reference endosurf.py:221-266)
     mid_sdf = 0.5 * (sdf + sdf_next)
     cos_val = (sdf_next - sdf) / (z_next - z + 1e-6)
-    prev_cos = jnp.where(iota >= 1,
-                         _mm(jnp.where(valid_pair, cos_val, 0.0), shr[1]),
-                         0.0)
+    prev_cos = _shr(jnp.where(valid_pair, cos_val, 0.0), 1, iota)
     cos_val = jnp.minimum(cos_val, prev_cos)
     inside = (radius < 1.0) | (rad_next < 1.0)
     cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside.astype(z.dtype)
@@ -331,14 +345,14 @@ def _upsample_round(spec, n_deform, compute_dtype, consts, layers,
     alpha = (prev_cdf - next_cdf + 1e-6) / (prev_cdf + 1e-6)
     alpha = jnp.where(valid_pair, alpha, 0.0)
     trans = _prefix_prod(jnp.where(valid_pair, 1.0 - alpha + 1e-7, 1.0),
-                         shr, iota)
-    trans_excl = jnp.where(iota >= 1, _mm(trans, shr[1]), 1.0)
+                         iota)
+    trans_excl = jnp.where(iota >= 1, pltpu.roll(trans, 1, 1), 1.0)
     weights = alpha * trans_excl
 
     # sample_pdf, deterministic midpoint u (ops/pdf.py; key=None path)
     w = jnp.where(valid_pair, weights + 1e-5, 0.0)
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)
-    cdf = jnp.where(iota >= 1, _mm(_mm(pdf, tri), shr[1]), 0.0)
+    cdf = _prefix_sum_excl(pdf, iota)
     on_bins = iota < float(s_cur)
     cdf_s = jnp.where(on_bins, cdf, 2.0)           # sentinel > any u
     new_z_cols: List[jnp.ndarray] = []
@@ -368,9 +382,9 @@ def _upsample_round(spec, n_deform, compute_dtype, consts, layers,
     z = _cols_to_lanes(new_z_cols, lanes, iota, z)
     if not last:
         sdf = _cols_to_lanes(new_sdf_cols, lanes, iota, sdf)
-        z, sdf = _bitonic_merge_64(z, sdf, shl, shr, misc)
+        z, sdf = _bitonic_merge_64(z, sdf, misc)
     else:
-        z, _ = _bitonic_merge_64(z, None, shl, shr, misc)
+        z, _ = _bitonic_merge_64(z, None, misc)
     return z, sdf
 
 
@@ -379,12 +393,11 @@ def _upsample_kernel(spec, rspec_tuple, n_deform, compute_dtype,
     n0, k_new, n_rounds = rspec_tuple
     out_ref = refs[-1]
     consts = tuple(r[...] for r in refs[:4])
-    n_mat = 1 + len(_SHL_DS) + len(_SCAN_DS) + 1
+    n_mat = 1
     flat = refs[4:-(1 + n_mat)]
     layers = [(flat[2 * i][...], flat[2 * i + 1][...])
               for i in range(len(flat) // 2)]
-    tri, shl, shr, misc = _unpack_matrices(
-        [r[...] for r in refs[-(1 + n_mat):-1]])
+    misc = _unpack_matrices([r[...] for r in refs[-(1 + n_mat):-1]])
     iota = misc[0:1, :]
 
     o3 = o3_ref[...]
@@ -420,7 +433,7 @@ def _upsample_kernel(spec, rspec_tuple, n_deform, compute_dtype,
     for i in range(n_rounds):
         z, sdf = _upsample_round(
             spec, n_deform, compute_dtype, consts, layers,
-            tri, shl, shr, misc, o3, d3, a, b, c,
+            misc, o3, d3, a, b, c,
             z, sdf, n0 + i * k_new, k_new, 64.0 * 2 ** i,
             last=(i + 1 == n_rounds))
     out_ref[...] = z
@@ -518,12 +531,11 @@ def _march_kernel(spec, cfg, n_deform, compute_dtype,
     n_steps, n_secant, tau = cfg
     depth_ref, valid_ref = refs[-2], refs[-1]
     consts = tuple(r[...] for r in refs[:4])
-    n_mat = 1 + len(_SHL_DS) + len(_SCAN_DS) + 1
+    n_mat = 1
     flat = refs[4:-(2 + n_mat)]
     layers = [(flat[2 * i][...], flat[2 * i + 1][...])
               for i in range(len(flat) // 2)]
-    _tri, _shl, shr, misc = _unpack_matrices(
-        [r[...] for r in refs[-(2 + n_mat):-2]])
+    misc = _unpack_matrices([r[...] for r in refs[-(2 + n_mat):-2]])
     iota = misc[0:1, :]
     lin = misc[1:2, :]
     arange_rev = misc[2:3, :]
@@ -557,7 +569,7 @@ def _march_kernel(spec, cfg, n_deform, compute_dtype,
     # ray_march): cost = sign(val_i * val_{i+1}) * arange(S..1), argmin.
     val = -(sdf - tau)
     first_free = _lane_extract(val, iota, 0) < 0.0
-    val_next = _mm(val, _shl[1])
+    val_next = _shl(val, 1, iota)
     prod = val * val_next
     sign = jnp.where(prod > 0, 1.0, jnp.where(prod < 0, -1.0, 0.0))
     sign = jnp.where(iota == float(n_steps - 1), 1.0, sign)
@@ -675,7 +687,7 @@ def _fine_resample_kernel(cfg, z_ref, sig_ref, dn_ref, *refs):
     """
     n0, n_new = cfg
     out_ref = refs[-1]
-    tri, shl, shr, misc = _unpack_matrices([r[...] for r in refs[:-1]])
+    misc = _unpack_matrices([r[...] for r in refs[:-1]])
     iota = misc[0:1, :]
 
     z = z_ref[...]
@@ -683,20 +695,20 @@ def _fine_resample_kernel(cfg, z_ref, sig_ref, dn_ref, *refs):
     dn = _lane_extract(dn_ref[...], iota, 0)
 
     on = iota < float(n0)
-    z_next = _mm(z, shl[1])
+    z_next = _shl(z, 1, iota)
     # raw2outputs: dists tail 1e10, scaled by |rays_d| (endonerf.py:168-182)
     dists = jnp.where(iota < float(n0 - 1), z_next - z, 1.0e10) * dn
     alpha = jnp.where(on, 1.0 - jnp.exp(-sig * dists), 0.0)
-    trans = _prefix_prod(jnp.where(on, 1.0 - alpha + 1e-10, 1.0), shr, iota)
-    trans_excl = jnp.where(iota >= 1, _mm(trans, shr[1]), 1.0)
+    trans = _prefix_prod(jnp.where(on, 1.0 - alpha + 1e-10, 1.0), iota)
+    trans_excl = jnp.where(iota >= 1, pltpu.roll(trans, 1, 1), 1.0)
     w = alpha * trans_excl
 
     # sample_pdf(bins=z_mid [63], weights=w[1..62]) — ops/pdf.py semantics.
     z_mid = jnp.where(iota < float(n0 - 1), 0.5 * (z + z_next), BIG)
-    w_sec = _mm(w, shl[1])                              # lane k = w[k+1]
+    w_sec = _shl(w, 1, iota)                            # lane k = w[k+1]
     w_sec = jnp.where(iota < float(n0 - 2), w_sec + 1e-5, 0.0)
     pdf = w_sec / jnp.sum(w_sec, axis=-1, keepdims=True)
-    cdf = jnp.where(iota >= 1, _mm(_mm(pdf, tri), shr[1]), 0.0)
+    cdf = _prefix_sum_excl(pdf, iota)
     n_bins = n0 - 1
     cdf_s = jnp.where(iota < float(n_bins), cdf, 2.0)   # sentinel > any u
 
@@ -718,7 +730,7 @@ def _fine_resample_kernel(cfg, z_ref, sig_ref, dn_ref, *refs):
         return jnp.where(iota == float(2 * LANES // 2 - 1) - j, new_z, z_acc)
 
     z = jax.lax.fori_loop(0, n_new, _draw, z)
-    out_ref[...] = _bitonic_merge_128(z, shl, shr, misc)
+    out_ref[...] = _bitonic_merge_128(z, misc)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -144,8 +144,18 @@ def _apply_encoding(v: jnp.ndarray, kind_row: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(kind_row == 0, v, jnp.where(kind_row == 1, s, c))
 
 
+def _mlp_precision(compute_dtype):
+    """Dot precision matching the compute dtype: bf16 operands run one MXU
+    pass (exact for the operands given), but f32 operands under Mosaic's
+    DEFAULT precision are silently truncated to one bf16 pass — the f32
+    (strict-parity) kernel mode must request HIGHEST to actually be f32."""
+    return (None if compute_dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
 def _run_mlp(h, x_enc, layers, skips, activation, skip_scale, compute_dtype):
     n_layers = len(layers)
+    prec = _mlp_precision(compute_dtype)
     for l in range(n_layers):
         if l in skips:
             h = jnp.concatenate([h, x_enc], axis=-1) * skip_scale
@@ -154,7 +164,7 @@ def _run_mlp(h, x_enc, layers, skips, activation, skip_scale, compute_dtype):
         # pre-cast outside the kernel), always accumulating in f32;
         # nonlinearities run in f32 on the VPU.
         h = jnp.dot(h.astype(compute_dtype), w,
-                    preferred_element_type=jnp.float32) + b
+                    preferred_element_type=jnp.float32, precision=prec) + b
         if l != n_layers - 1:
             if activation == "relu":
                 h = jnp.maximum(h, 0.0)
@@ -199,9 +209,15 @@ def eval_chain_inline(chain: Tuple, n_first: int, compute_dtype,
     s_first, kind_first, s_second, kind_second = consts
     first_layers = layers[:n_first]
     second_layers = layers[n_first:]
+    # Selector dots carry raw coordinates into the frequency encoding; in
+    # the f32 (strict-parity) mode they must be full precision (see
+    # _mlp_precision — Mosaic's DEFAULT truncates f32 dots to one bf16
+    # pass). In the bf16 throughput mode one pass is the intended rounding.
+    prec = _mlp_precision(compute_dtype)
 
     if use_first:
-        v = jnp.dot(xt, s_first, preferred_element_type=jnp.float32)
+        v = jnp.dot(xt, s_first, preferred_element_type=jnp.float32,
+                    precision=prec)
         enc = _apply_encoding(v, kind_first[:1, :])
         dx = _run_mlp(enc, enc, first_layers, skips1, act1,
                       scale1, compute_dtype)
@@ -212,7 +228,8 @@ def eval_chain_inline(chain: Tuple, n_first: int, compute_dtype,
     else:
         x_c_pad = xt
 
-    v_c = jnp.dot(x_c_pad, s_second, preferred_element_type=jnp.float32)
+    v_c = jnp.dot(x_c_pad, s_second, preferred_element_type=jnp.float32,
+                  precision=prec)
     enc_c = _apply_encoding(v_c, kind_second[:1, :])
     h = _run_mlp(enc_c, enc_c, second_layers, skips2, act2,
                  scale2, compute_dtype)
