@@ -22,17 +22,22 @@ wait_tunnel() {
   return 1
 }
 
-# Wait for stage E (up to 10 h).
+# Wait for stage E (up to 10 h) — and REQUIRE it before any TPU work
+# (one-TPU-lane rule: never launch alongside a still-running stage).
 for i in $(seq 1 120); do
   [ -f logs/r3_results/stage_e_done.marker ] && break
   sleep 300
 done
+if [ ! -f logs/r3_results/stage_e_done.marker ]; then
+  echo "=== stage-f ABORT: stage E never finished $(date) ===" >> "$LOG"
+  exit 1
+fi
 
 # demo128 first (it failed on the HIGH-precision Mosaic gap, now fixed —
 # the driver skips the already-done demo256_3d unit).
 for i in $(seq 1 3); do
   [ -f logs/r3_results/demo128.json ] && break
-  wait_tunnel
+  wait_tunnel || { echo "=== stage-f ABORT: wedged $(date) ===" >> "$LOG"; exit 1; }
   echo "=== stage-f demo128 attempt $i $(date) ===" >> "$LOG"
   timeout 14400 python tools/round3_recover_driver.py demos \
     >> logs/r3_demos.log 2>&1 && break
@@ -41,7 +46,7 @@ done
 
 for i in $(seq 1 4); do
   [ -f logs/r3_results/en100k_default.json ] && break
-  wait_tunnel
+  wait_tunnel || { echo "=== stage-f ABORT: wedged $(date) ===" >> "$LOG"; exit 1; }
   echo "=== stage-f en100k attempt $i $(date) ===" >> "$LOG"
   timeout 21600 python tools/round3_recover_driver.py en100k \
     >> logs/r3_en100k.log 2>&1 && break
