@@ -141,18 +141,51 @@ def _color(spec: DNeRFSpec, params: Params, d, feat):
     return jax.nn.sigmoid(h)
 
 
+def _field_raw(spec: DNeRFSpec, params: Params, x, d, t):
+    """(x, d, t) -> (rgb [N,3] post-sigmoid, raw_sigma [N] pre-noise/relu).
+
+    The gradient-path field chain. Large TPU batches route through the fused
+    fwd+bwd megakernel (kernels/fused_train_dnerf.py — deform + density +
+    color as three custom_vjp segments whose backwards recompute in VMEM);
+    under a >1-device mesh the megakernel dispatches per shard via shard_map
+    (pallas_call has no GSPMD rule). Everything else runs the jnp chain.
+    """
+    from endosurf_tpu.kernels import fused_train_dnerf as ftd
+    n = x.shape[0]
+    if ftd.dnerf_megakernel_serves(n):
+        from endosurf_tpu.models.fields import _sync_megakernel_precision
+        _sync_megakernel_precision()
+        return ftd.megakernel_field_raw(spec, params, x, d, t)
+    mk_mesh = ftd.dnerf_megakernel_mesh(n)
+    if mk_mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from endosurf_tpu.models.fields import _sync_megakernel_precision
+        _sync_megakernel_precision()
+
+        def body(p, xx, dd, tt):
+            return ftd.megakernel_field_raw(spec, p, xx, dd, tt,
+                                            force_kernel=True)
+
+        f = shard_map(body, mesh=mk_mesh,
+                      in_specs=(P(), P("data"), P("data"), P("data")),
+                      out_specs=(P("data"), P("data")), check_vma=False)
+        return f(params, x, d, t)
+    x_c = _warp(spec, params, x, t)
+    h = _density_feat(spec, params, x_c)
+    return _color(spec, params, d, h[..., 1:]), h[..., 0]
+
+
 def field_eval(spec: DNeRFSpec, params: Params, x, d, t,
                noise_key: Optional[jax.Array] = None):
     """(x, d, t) -> (rgb [N,3], sigma [N]). Train-time Gaussian noise on the
     raw density pre-relu (endonerf.py:367-370) when noise_key is given."""
-    x_c = _warp(spec, params, x, t)
-    h = _density_feat(spec, params, x_c)
-    raw_sigma = h[..., 0]
+    rgb, raw_sigma = _field_raw(spec, params, x, d, t)
     if noise_key is not None and spec.raw_noise_std > 0:
         raw_sigma = raw_sigma + spec.raw_noise_std * jax.random.normal(
             noise_key, raw_sigma.shape, raw_sigma.dtype)
     sigma = jax.nn.relu(raw_sigma)
-    rgb = _color(spec, params, d, h[..., 1:])
     return rgb, sigma
 
 

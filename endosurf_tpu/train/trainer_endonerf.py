@@ -101,6 +101,14 @@ class EndoNeRFTrainer(Trainer):
         set_activation_dtype(self.train_cfg.get(
             "activation_dtype",
             "bfloat16" if precision == "default" else None))
+        # Kernel knobs (same mode contract as the EndoSurf trainer):
+        # the fused fwd+bwd field megakernel (kernels/fused_train_dnerf.py)
+        # and the fine-resample sampler kernel (kernels/fused_sampler.py).
+        from endosurf_tpu.kernels.fused_sampler import set_sampler_kernel_mode
+        from endosurf_tpu.kernels.fused_train_dnerf import \
+            set_dnerf_megakernel_mode
+        set_dnerf_megakernel_mode(self.train_cfg.get("megakernel", "auto"))
+        set_sampler_kernel_mode(self.train_cfg.get("sampler_kernel", "auto"))
 
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)

@@ -64,8 +64,11 @@ def main():
 
     set_matmul_precision(args.precision)
     set_sampling_precision("default")
+    from endosurf_tpu.kernels.fused_train_dnerf import \
+        set_dnerf_megakernel_mode
     from endosurf_tpu.models.fields import set_megakernel_mode
     set_megakernel_mode(args.megakernel)
+    set_dnerf_megakernel_mode(args.megakernel)
 
     scene = make_synthetic_arrays(n_frames=8, h=512, w=640)
     arrays = scene.device_arrays
