@@ -39,10 +39,16 @@ from endosurf_tpu.kernels.fused_train import (
 # activations live, the bwd segments additionally hold vjp residuals +
 # resident grad blocks (v5e: 128M physical VMEM, vmem_limit raised below).
 # Env overrides for tuning sweeps (tools/mk_tpu_bringup.py).
+# The round-3 sweep (fwd 256/512, bwd 128/256) measured flat and shipped
+# 256/128; the D-NeRF megakernel's block findings prompted a re-sweep one
+# octave up: 1024/512 cuts the flagship step 26.6 -> 23.3 ms (on/off ratio
+# 1.06 -> 1.14) and the isolated fused-eval fwd+bwd now MATCHES XLA
+# (10.4 vs 10.5 ms; was 12% slower); 2048/1024 regresses to 23.8 ms
+# (logs/es_mk_blk1024.log, es_mk_blk2048.log).
 import os as _os
 
-BLOCK_FWD = int(_os.environ.get("ESN_MK_BLOCK_FWD", 256))
-BLOCK_BWD = int(_os.environ.get("ESN_MK_BLOCK_BWD", 128))
+BLOCK_FWD = int(_os.environ.get("ESN_MK_BLOCK_FWD", 1024))
+BLOCK_BWD = int(_os.environ.get("ESN_MK_BLOCK_BWD", 512))
 
 # None = auto (interpret when running on CPU, compiled on TPU).
 _INTERPRET: Optional[bool] = None
