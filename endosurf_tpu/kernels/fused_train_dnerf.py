@@ -374,7 +374,12 @@ def dnerf_megakernel_mesh(n_points: int):
     mesh = current_mesh()
     if mesh is None or n_points % mesh.size != 0:
         return None
-    if n_points // mesh.size < ft._MIN_POINTS and _MODE != "on":
+    if _MODE == "on":
+        # Forced mode honors the mesh path on any backend (CPU tests run
+        # the shard_map body with interpreted kernels) — same contract as
+        # fused_sampler.kernel_mesh.
+        return mesh
+    if n_points // mesh.size < ft._MIN_POINTS:
         return None
     try:
         if jax.default_backend() not in ("tpu", "axon"):

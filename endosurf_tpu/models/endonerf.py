@@ -152,10 +152,8 @@ def _field_raw(spec: DNeRFSpec, params: Params, x, d, t):
     """
     from endosurf_tpu.kernels import fused_train_dnerf as ftd
     n = x.shape[0]
-    if ftd.dnerf_megakernel_serves(n):
-        from endosurf_tpu.models.fields import _sync_megakernel_precision
-        _sync_megakernel_precision()
-        return ftd.megakernel_field_raw(spec, params, x, d, t)
+    # Mesh first (same rationale as fields.fused_point_eval): under a mesh
+    # the kernel path is only valid via shard_map.
     mk_mesh = ftd.dnerf_megakernel_mesh(n)
     if mk_mesh is not None:
         from jax import shard_map
@@ -172,6 +170,10 @@ def _field_raw(spec: DNeRFSpec, params: Params, x, d, t):
                       in_specs=(P(), P("data"), P("data"), P("data")),
                       out_specs=(P("data"), P("data")), check_vma=False)
         return f(params, x, d, t)
+    if ftd.dnerf_megakernel_serves(n):
+        from endosurf_tpu.models.fields import _sync_megakernel_precision
+        _sync_megakernel_precision()
+        return ftd.megakernel_field_raw(spec, params, x, d, t)
     x_c = _warp(spec, params, x, t)
     h = _density_feat(spec, params, x_c)
     return _color(spec, params, d, h[..., 1:]), h[..., 0]

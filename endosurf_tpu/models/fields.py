@@ -251,7 +251,12 @@ def _megakernel_mesh(n_points: int):
     mesh = current_mesh()
     if mesh is None or n_points % mesh.size != 0:
         return None
-    if n_points // mesh.size < _MIN_POINTS and _MEGAKERNEL_MODE != "on":
+    if _MEGAKERNEL_MODE == "on":
+        # Forced mode honors the mesh path on any backend (CPU tests run
+        # the shard_map body with interpreted kernels) — same contract as
+        # fused_sampler.kernel_mesh.
+        return mesh
+    if n_points // mesh.size < _MIN_POINTS:
         return None
     try:
         import jax as _jax
@@ -376,11 +381,14 @@ def fused_point_eval(spec: EndoSurfSpec, params: Params, x: jnp.ndarray,
       gradient, equals the reference's get_sdf_grad_from_observed_space),
       grad_c [N,3] (canonical normal fed to the color net).
     """
-    if _megakernel_serves(x.shape[0]):
-        return _megakernel_eval(spec, params, x, d, t)
+    # Mesh first: under a >1-device mesh the kernel path is only valid via
+    # shard_map (forced mode would otherwise route the global batch into
+    # one pallas_call, which GSPMD cannot partition).
     mk_mesh = _megakernel_mesh(x.shape[0])
     if mk_mesh is not None:
         return _megakernel_eval_sharded(spec, params, x, d, t, mk_mesh)
+    if _megakernel_serves(x.shape[0]):
+        return _megakernel_eval(spec, params, x, d, t)
 
     def batched(p, xx, dd, tt):
         return jax.vmap(_point_eval, in_axes=(None, None, 0, 0, 0))(

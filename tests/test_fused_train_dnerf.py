@@ -267,3 +267,30 @@ def test_mode_gate():
         assert not ftd.dnerf_megakernel_serves(1 << 20)
     finally:
         ftd.set_dnerf_megakernel_mode("auto")
+
+
+def test_megakernel_under_mesh(small_spec, small_params, batch):
+    """Forced megakernel under the 8-device virtual mesh dispatches the
+    Pallas segments per shard via shard_map (pallas_call has no GSPMD
+    rule) and matches the XLA chain."""
+    from endosurf_tpu.models.endonerf import _field_raw
+    from endosurf_tpu.parallel import mesh as pm
+
+    x, d, t = batch
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    n = 40  # divisible by 8; padded per-shard inside the kernel runner
+    x, d, t = x[:n], d[:n], t[:n]
+    mesh = pm.make_mesh(8)
+    try:
+        ftd.set_dnerf_megakernel_mode("off")
+        ref = _field_raw(small_spec, small_params, x, d, t)
+        ftd.set_dnerf_megakernel_mode("on")
+        with mesh:
+            assert ftd.dnerf_megakernel_mesh(n) is not None
+            got = jax.jit(lambda p: _field_raw(small_spec, p, x, d, t))(
+                small_params)
+    finally:
+        ftd.set_dnerf_megakernel_mode("auto")
+        pm.set_mesh_active(False)
+    _assert_raw_close(ref, got, rtol=2e-4, atol=1e-5)

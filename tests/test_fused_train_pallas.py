@@ -194,3 +194,35 @@ def test_megakernel_under_shard_map(small_spec, small_params):
     finally:
         ftp.set_interpret(None)
         pm.set_mesh_active(False)
+
+
+def test_megakernel_under_mesh(small_spec, small_params, batch):
+    """Forced EndoSurf megakernel under the 8-device virtual mesh takes the
+    shard_map dispatch (mesh consulted BEFORE the serves gate) and matches
+    the vmapped autodiff path."""
+    import numpy as np
+    import pytest
+
+    from endosurf_tpu.models.fields import (fused_point_eval,
+                                            set_megakernel_mode)
+    from endosurf_tpu.parallel import mesh as pm
+
+    x, d, t = batch
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh (tests/conftest.py)")
+    n = 32
+    x, d, t = x[:n], d[:n], t[:n]
+    mesh = pm.make_mesh(8)
+    try:
+        set_megakernel_mode("off")
+        ref = fused_point_eval(small_spec, small_params, x, d, t)
+        set_megakernel_mode("on")
+        with mesh:
+            got = jax.jit(lambda p: fused_point_eval(
+                small_spec, p, x, d, t))(small_params)
+    finally:
+        set_megakernel_mode("auto")
+        pm.set_mesh_active(False)
+    for k in ("sdf", "color", "grad_o", "grad_c"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
