@@ -66,7 +66,9 @@ from endosurf_tpu.kernels.fused_sampler import (
 from endosurf_tpu.kernels.fused_sdf import build_sdf_eval_operands
 from endosurf_tpu.models.fields import EndoSurfSpec
 
-BLOCK_R = 256        # rays per grid step
+import os as _os
+
+BLOCK_R = int(_os.environ.get("ESN_RENDER_BLOCK_R", 256))  # rays per grid step
 EVAL_GROUP = 8       # sample lanes per in-kernel full-field eval pass
 
 _MODE = "auto"       # auto | on | off (set_render_kernel_mode)
@@ -77,6 +79,12 @@ def set_render_kernel_mode(mode: str) -> None:
     global _MODE
     assert mode in ("auto", "on", "off")
     _MODE = mode
+
+
+def set_block_r(block_r: int) -> None:
+    """Override the ray-block size; takes effect at the next trace."""
+    global BLOCK_R
+    BLOCK_R = int(block_r)
 
 
 def render_shape_supported(n_samples: int, n_importance: int,

@@ -69,7 +69,13 @@ from endosurf_tpu.kernels.fused_sdf import (
 )
 from endosurf_tpu.models.fields import EndoSurfSpec
 
-BLOCK_R = 256          # rays per grid step
+import os as _os
+
+# Rays per grid step. The train megakernels won at larger blocks
+# (fused_train_pallas 256->1024 cut the step 26.6->23.3 ms); sweepable
+# here via env or set_block_r so a one-process step-level A/B can decide
+# (isolated kernel timings on the tunnel are unreliable — CLAUDE.md).
+BLOCK_R = int(_os.environ.get("ESN_SAMPLER_BLOCK_R", 256))
 EVAL_CHUNK = 8         # sample lanes evaluated per in-kernel MLP pass
 BIG = 1.0e9            # +inf stand-in for unfilled sample lanes
 LANES = 128
@@ -87,6 +93,12 @@ def set_sampler_kernel_mode(mode: str) -> None:
     global _MODE
     assert mode in ("auto", "on", "off")
     _MODE = mode
+
+
+def set_block_r(block_r: int) -> None:
+    """Override the ray-block size; takes effect at the next trace."""
+    global BLOCK_R
+    BLOCK_R = int(block_r)
 
 
 def set_march_kernel_mode(mode: str) -> None:

@@ -170,3 +170,24 @@ def test_availability_gate_off_cpu():
     fr.set_render_kernel_mode("off")
     assert not fr.render_kernel_available(4096)
     fr.set_render_kernel_mode("auto")
+
+
+def test_render_block_override_parity(setup):
+    """set_block_r (swept in tools/sweep_blocks_r3c.py) must be
+    math-neutral: a 16-ray block over the 64-ray batch = 4 grid steps."""
+    spec, params, rays = setup
+    rspec = RenderSpec(perturb=False, anneal_end=0.0)
+    step = jnp.asarray(1000.0)
+    try:
+        fr.set_render_kernel_mode("off")
+        ref = render_rays_inference(spec, rspec, params, rays, step)
+        fr.set_render_kernel_mode("on")
+        fr.set_block_r(16)
+        got = render_rays_inference(spec, rspec, params, rays, step)
+    finally:
+        fr.set_render_kernel_mode("auto")
+        fr.set_block_r(256)
+    np.testing.assert_allclose(np.asarray(got["color_map"]),
+                               np.asarray(ref["color_map"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["depth_map"]),
+                               np.asarray(ref["depth_map"]), atol=1e-4)

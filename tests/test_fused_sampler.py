@@ -235,3 +235,26 @@ def test_endonerf_render_resample_dispatch():
                                np.asarray(ref["color_map"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got["depth_map"]),
                                np.asarray(ref["depth_map"]), atol=1e-4)
+
+
+def test_upsample_block_override_parity(setup):
+    """BLOCK_R is runtime-tunable (set_block_r, swept in
+    tools/sweep_blocks_r3c.py); a small override forces a multi-block grid
+    (64 rays / block 16 = 4 grid steps) and must not change the math."""
+    spec, params, rays = setup
+    rspec = RenderSpec()
+    rays_o, _rays_d, rays_d_z, t = _split_rays(rays)
+    near, far, _ = ray_sphere_intersection(rays_o, _rays_d)
+    z0 = _stratified_z(near, far, rspec.n_samples, None)
+
+    ref = np.asarray(upsample_z(spec, rspec, params, rays_o, rays_d_z, t,
+                                z0))
+    try:
+        fs.set_block_r(16)
+        got = np.asarray(fs.fused_upsample_z(
+            spec, params, rays_o, rays_d_z, t, z0, rspec.n_importance,
+            rspec.up_sample_steps, compute_dtype=jnp.float32,
+            interpret=True))
+    finally:
+        fs.set_block_r(256)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
