@@ -68,8 +68,14 @@ from endosurf_tpu.models.fields import EndoSurfSpec
 
 import os as _os
 
-BLOCK_R = int(_os.environ.get("ESN_RENDER_BLOCK_R", 256))  # rays per grid step
+from endosurf_tpu.kernels.fused_sampler import _validate_block_r
+
+BLOCK_R = _validate_block_r(
+    _os.environ.get("ESN_RENDER_BLOCK_R", 256))  # rays per grid step
 EVAL_GROUP = 8       # sample lanes per in-kernel full-field eval pass
+
+# Cap threaded into the most recent dispatch (see fused_sampler).
+LAST_BLOCK_R_CAP = None
 
 _MODE = "auto"       # auto | on | off (set_render_kernel_mode)
 _MIN_RAYS = 256
@@ -82,9 +88,12 @@ def set_render_kernel_mode(mode: str) -> None:
 
 
 def set_block_r(block_r: int) -> None:
-    """Override the ray-block size; takes effect at the next trace."""
+    """Override the ray-block size (validated; clears jit caches so
+    enclosing-jit traces can't shadow the new value — see
+    fused_sampler.set_block_r)."""
     global BLOCK_R
-    BLOCK_R = int(block_r)
+    BLOCK_R = _validate_block_r(block_r)
+    jax.clear_caches()
 
 
 def render_shape_supported(n_samples: int, n_importance: int,
@@ -262,9 +271,6 @@ def _render_kernel(spec, cfg, n_deform, sampling_dtype, counts, eff_def,
                                   jnp.zeros_like(z))
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "spec", "n_samples", "n_importance", "n_rounds", "anneal_end",
-    "sampling_dtype", "main_dtype", "main_precision", "interpret"))
 def fused_render_rays(spec: EndoSurfSpec, params: Dict[str, Any],
                       rays: jnp.ndarray, iter_step: jnp.ndarray,
                       n_samples: int, n_importance: int, n_rounds: int,
@@ -280,7 +286,29 @@ def fused_render_rays(spec: EndoSurfSpec, params: Dict[str, Any],
     "normal_map" [R,3], "acc_map" [R,1], "weight_max" [R,1]} — normal_map is
     the weights-weighted observed-space gradient sum that
     evaluation/render_eval.py otherwise assembles from weights+gradients_o.
-    """
+
+    Non-jit wrapper: reads BLOCK_R at call time and threads it into the
+    jitted impl as a static (round-3 ADVICE staleness fix)."""
+    global LAST_BLOCK_R_CAP
+    LAST_BLOCK_R_CAP = BLOCK_R
+    return _fused_render_rays(spec, params, rays, iter_step, n_samples,
+                              n_importance, n_rounds, anneal_end, BLOCK_R,
+                              sampling_dtype, main_dtype, main_precision,
+                              interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "n_samples", "n_importance", "n_rounds", "anneal_end",
+    "block_r_cap", "sampling_dtype", "main_dtype", "main_precision",
+    "interpret"))
+def _fused_render_rays(spec: EndoSurfSpec, params: Dict[str, Any],
+                       rays: jnp.ndarray, iter_step: jnp.ndarray,
+                       n_samples: int, n_importance: int, n_rounds: int,
+                       anneal_end: float, block_r_cap: int,
+                       sampling_dtype=jnp.float32,
+                       main_dtype=jnp.float32,
+                       main_precision: Optional[str] = "highest",
+                       interpret: bool = False) -> Dict[str, jnp.ndarray]:
     from endosurf_tpu.models.endosurf import _split_rays, cos_anneal_ratio
     from endosurf_tpu.models.fields import inv_s
     from endosurf_tpu.ops.geometry import ray_sphere_intersection
@@ -295,7 +323,7 @@ def fused_render_rays(spec: EndoSurfSpec, params: Dict[str, Any],
     anneal = cos_anneal_ratio(iter_step, anneal_end)
     s_inv_v = inv_s(params)
 
-    block_r = min(BLOCK_R, max(8, 1 << (n - 1).bit_length()))
+    block_r = min(block_r_cap, max(8, 1 << (n - 1).bit_length()))
     n_total = ((n + block_r - 1) // block_r) * block_r
 
     o3, d3, rc = _ray_buffers(rays_o.astype(jnp.float32),

@@ -71,14 +71,29 @@ from endosurf_tpu.models.fields import EndoSurfSpec
 
 import os as _os
 
+def _validate_block_r(block_r: int) -> int:
+    """Mosaic f32 tiling wants (block_r, 128) blocks with block_r a
+    positive multiple of 8; catch bad values here instead of deep inside
+    a Pallas lowering error."""
+    block_r = int(block_r)
+    assert block_r >= 8 and block_r % 8 == 0, (
+        f"block_r must be a positive multiple of 8, got {block_r}")
+    return block_r
+
+
 # Rays per grid step. The train megakernels won at larger blocks
 # (fused_train_pallas 256->1024 cut the step 26.6->23.3 ms); sweepable
 # here via env or set_block_r so a one-process step-level A/B can decide
 # (isolated kernel timings on the tunnel are unreliable — CLAUDE.md).
-BLOCK_R = int(_os.environ.get("ESN_SAMPLER_BLOCK_R", 256))
+BLOCK_R = _validate_block_r(_os.environ.get("ESN_SAMPLER_BLOCK_R", 256))
 EVAL_CHUNK = 8         # sample lanes evaluated per in-kernel MLP pass
 BIG = 1.0e9            # +inf stand-in for unfilled sample lanes
 LANES = 128
+
+# Cap threaded into the most recent kernel dispatch (a jit STATIC, so the
+# executed program is guaranteed compiled with it) — lets tests assert the
+# override really took effect instead of passing vacuously on a stale trace.
+LAST_BLOCK_R_CAP = None
 
 _MODE = "auto"         # auto | on | off (set_sampler_kernel_mode)
 # The march kernel keeps its own gate (it briefly shipped opt-in when its
@@ -96,9 +111,17 @@ def set_sampler_kernel_mode(mode: str) -> None:
 
 
 def set_block_r(block_r: int) -> None:
-    """Override the ray-block size; takes effect at the next trace."""
+    """Override the ray-block size.
+
+    block_r is threaded into the kernel entry points as a jit-static
+    argument by thin non-jit wrappers that read the module global at CALL
+    time, so direct calls always honor the setter. Calls nested inside an
+    ENCLOSING jit bake the value in at the enclosing trace — clear_caches()
+    purges those so a sweep (tools/sweep_blocks_r3c.py) really re-times
+    each setting instead of replaying the first trace (round-3 ADVICE)."""
     global BLOCK_R
-    BLOCK_R = int(block_r)
+    BLOCK_R = _validate_block_r(block_r)
+    jax.clear_caches()
 
 
 def set_march_kernel_mode(mode: str) -> None:
@@ -481,8 +504,6 @@ def _const_specs(arrays):
                          memory_space=pltpu.VMEM) for a in arrays]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "spec", "n_importance", "n_rounds", "compute_dtype", "interpret"))
 def fused_upsample_z(spec: EndoSurfSpec, params: Dict[str, Any],
                      rays_o: jnp.ndarray, rays_d_z: jnp.ndarray,
                      t: jnp.ndarray, z_vals: jnp.ndarray,
@@ -494,14 +515,33 @@ def fused_upsample_z(spec: EndoSurfSpec, params: Dict[str, Any],
     Args:
       rays_o / rays_d_z: [R, 3]; t: [R, 1]; z_vals: [R, n0] stratified
         (ascending). Returns z [R, n0 + n_importance] sorted ascending.
-    """
+
+    Non-jit wrapper: reads BLOCK_R at call time and threads it into the
+    jitted impl as a static so set_block_r is never shadowed by a stale
+    trace (round-3 ADVICE item)."""
+    global LAST_BLOCK_R_CAP
+    LAST_BLOCK_R_CAP = BLOCK_R
+    return _fused_upsample_z(spec, params, rays_o, rays_d_z, t, z_vals,
+                             n_importance, n_rounds, BLOCK_R,
+                             compute_dtype, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "n_importance", "n_rounds", "block_r_cap", "compute_dtype",
+    "interpret"))
+def _fused_upsample_z(spec: EndoSurfSpec, params: Dict[str, Any],
+                      rays_o: jnp.ndarray, rays_d_z: jnp.ndarray,
+                      t: jnp.ndarray, z_vals: jnp.ndarray,
+                      n_importance: int, n_rounds: int, block_r_cap: int,
+                      compute_dtype=jnp.float32,
+                      interpret: bool = False) -> jnp.ndarray:
     n = rays_o.shape[0]
     n0 = z_vals.shape[1]
     assert upsample_shape_supported(n0, n_importance, n_rounds), (
         n0, n_importance, n_rounds)
     k_new = n_importance // n_rounds
 
-    block_r = min(BLOCK_R, max(8, 1 << (n - 1).bit_length()))
+    block_r = min(block_r_cap, max(8, 1 << (n - 1).bit_length()))
     n_total = ((n + block_r - 1) // block_r) * block_r
 
     o3, d3, rc = _ray_buffers(rays_o.astype(jnp.float32),
@@ -621,8 +661,6 @@ def _march_kernel(spec, cfg, n_deform, compute_dtype,
     valid_ref[...] = valid.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "spec", "n_steps", "n_secant", "tau", "compute_dtype", "interpret"))
 def fused_ray_march(spec: EndoSurfSpec, params: Dict[str, Any],
                     rays_o: jnp.ndarray, rays_d_z: jnp.ndarray,
                     t: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
@@ -635,10 +673,29 @@ def fused_ray_march(spec: EndoSurfSpec, params: Dict[str, Any],
     near/far: [R, 1] from ops.geometry.ray_sphere_intersection (the caller
     computes them exactly as the jnp path does).
     Returns (depth [R, 1] f32, valid [R, 1] bool).
-    """
+
+    Non-jit wrapper: reads BLOCK_R at call time (see fused_upsample_z)."""
+    global LAST_BLOCK_R_CAP
+    LAST_BLOCK_R_CAP = BLOCK_R
+    return _fused_ray_march(spec, params, rays_o, rays_d_z, t, near, far,
+                            tau, n_steps, n_secant, BLOCK_R,
+                            compute_dtype, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "n_steps", "n_secant", "tau", "block_r_cap", "compute_dtype",
+    "interpret"))
+def _fused_ray_march(spec: EndoSurfSpec, params: Dict[str, Any],
+                     rays_o: jnp.ndarray, rays_d_z: jnp.ndarray,
+                     t: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
+                     tau: float, n_steps: int, n_secant: int,
+                     block_r_cap: int,
+                     compute_dtype=jnp.float32,
+                     interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     assert n_steps == LANES, "march kernel assumes 128 sample lanes"
     n = rays_o.shape[0]
-    block_r = min(BLOCK_R, max(8, 1 << (n - 1).bit_length()))
+    block_r = min(block_r_cap, max(8, 1 << (n - 1).bit_length()))
     n_total = ((n + block_r - 1) // block_r) * block_r
 
     o3, d3, _rc = _ray_buffers(rays_o.astype(jnp.float32),
@@ -685,27 +742,22 @@ def fine_resample_shape_supported(n_samples: int, n_importance: int) -> bool:
     return n_samples == 64 and n_importance == 64
 
 
-def _fine_resample_kernel(cfg, z_ref, sig_ref, dn_ref, *refs):
-    """One ray block of the DNeRF importance resampling
+def _fine_resample_math(z, sig, dn, misc, n0: int, n_new: int):
+    """Lane-form DNeRF importance resampling on loaded VMEM values
     (models/endonerf.py render_rays; reference endonerf.py:82-104):
 
       coarse weights (1 - exp(-sigma*dist) compositing, eps 1e-10)
       -> midpoint bins -> deterministic inverse-CDF draws (det=perturb
       quirk: u_j = (j+0.5)/64) -> 128-lane bitonic merge of old + new z.
 
-    Inputs: z [R, 128] (lanes 0..63 sorted coarse z, BIG above), sig
-    [R, 128] (coarse sigma, post noise+relu), dn [R, 128] (|rays_d| lane 0).
-    Output: z_all [R, 128] sorted ascending.
+    Shared by the standalone fine-resample kernel and the EndoNeRF
+    whole-pipeline render kernel (fused_render_dnerf.py).
+
+    Args: z [R, 128] (lanes 0..n0-1 sorted coarse z, BIG above), sig
+    [R, 128] (coarse sigma, post noise+relu), dn [R, 1] (|rays_d|).
+    Returns: z_all [R, 128] sorted ascending.
     """
-    n0, n_new = cfg
-    out_ref = refs[-1]
-    misc = _unpack_matrices([r[...] for r in refs[:-1]])
     iota = misc[0:1, :]
-
-    z = z_ref[...]
-    sig = sig_ref[...]
-    dn = _lane_extract(dn_ref[...], iota, 0)
-
     on = iota < float(n0)
     z_next = _shl(z, 1, iota)
     # raw2outputs: dists tail 1e10, scaled by |rays_d| (endonerf.py:168-182)
@@ -742,10 +794,22 @@ def _fine_resample_kernel(cfg, z_ref, sig_ref, dn_ref, *refs):
         return jnp.where(iota == float(2 * LANES // 2 - 1) - j, new_z, z_acc)
 
     z = jax.lax.fori_loop(0, n_new, _draw, z)
-    out_ref[...] = _bitonic_merge_128(z, misc)
+    return _bitonic_merge_128(z, misc)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fine_resample_kernel(cfg, z_ref, sig_ref, dn_ref, *refs):
+    """One ray block of the DNeRF importance resampling (see
+    :func:`_fine_resample_math`). Inputs: z [R, 128], sig [R, 128],
+    dn [R, 128] (|rays_d| lane 0). Output: z_all [R, 128] sorted."""
+    n0, n_new = cfg
+    out_ref = refs[-1]
+    misc = _unpack_matrices([r[...] for r in refs[:-1]])
+    iota = misc[0:1, :]
+    dn = _lane_extract(dn_ref[...], iota, 0)
+    out_ref[...] = _fine_resample_math(z_ref[...], sig_ref[...], dn, misc,
+                                       n0, n_new)
+
+
 def fused_fine_resample(z_vals: jnp.ndarray, sigma_c: jnp.ndarray,
                         d_norm: jnp.ndarray,
                         interpret: bool = False) -> jnp.ndarray:
@@ -760,10 +824,20 @@ def fused_fine_resample(z_vals: jnp.ndarray, sigma_c: jnp.ndarray,
       d_norm: [R, 1] |rays_d| (the reference scales dists by it).
     Returns: z_all [R, 128] sorted ascending (old 64 merged with 64
       deterministic inverse-CDF draws).
-    """
+
+    Non-jit wrapper: reads BLOCK_R at call time (see fused_upsample_z)."""
+    global LAST_BLOCK_R_CAP
+    LAST_BLOCK_R_CAP = BLOCK_R
+    return _fused_fine_resample(z_vals, sigma_c, d_norm, BLOCK_R, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_r_cap", "interpret"))
+def _fused_fine_resample(z_vals: jnp.ndarray, sigma_c: jnp.ndarray,
+                         d_norm: jnp.ndarray, block_r_cap: int,
+                         interpret: bool = False) -> jnp.ndarray:
     n, n0 = z_vals.shape
     assert fine_resample_shape_supported(n0, LANES - n0), (n0,)
-    block_r = min(BLOCK_R, max(8, 1 << (n - 1).bit_length()))
+    block_r = min(block_r_cap, max(8, 1 << (n - 1).bit_length()))
     n_total = ((n + block_r - 1) // block_r) * block_r
 
     z = jnp.concatenate(

@@ -178,15 +178,21 @@ def test_render_block_override_parity(setup):
     spec, params, rays = setup
     rspec = RenderSpec(perturb=False, anneal_end=0.0)
     step = jnp.asarray(1000.0)
+    saved_block_r = fr.BLOCK_R
     try:
         fr.set_render_kernel_mode("off")
         ref = render_rays_inference(spec, rspec, params, rays, step)
         fr.set_render_kernel_mode("on")
         fr.set_block_r(16)
         got = render_rays_inference(spec, rspec, params, rays, step)
+        # The cap is a jit STATIC of the dispatched program — asserting it
+        # proves the override was really compiled in, not a stale trace
+        # (round-3 ADVICE: the old setter was silently ignored after the
+        # first trace and this test passed vacuously).
+        assert fr.LAST_BLOCK_R_CAP == 16
     finally:
         fr.set_render_kernel_mode("auto")
-        fr.set_block_r(256)
+        fr.set_block_r(saved_block_r)
     np.testing.assert_allclose(np.asarray(got["color_map"]),
                                np.asarray(ref["color_map"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got["depth_map"]),

@@ -249,12 +249,16 @@ def test_upsample_block_override_parity(setup):
 
     ref = np.asarray(upsample_z(spec, rspec, params, rays_o, rays_d_z, t,
                                 z0))
+    saved_block_r = fs.BLOCK_R
     try:
         fs.set_block_r(16)
         got = np.asarray(fs.fused_upsample_z(
             spec, params, rays_o, rays_d_z, t, z0, rspec.n_importance,
             rspec.up_sample_steps, compute_dtype=jnp.float32,
             interpret=True))
+        # Cap is a jit static of the dispatched program: proves the
+        # override was compiled in (round-3 ADVICE vacuous-test fix).
+        assert fs.LAST_BLOCK_R_CAP == 16
     finally:
-        fs.set_block_r(256)
+        fs.set_block_r(saved_block_r)
     np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -76,6 +76,7 @@ def stage_endosurf(blocks):
           "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
           "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1}
     params0 = init_endosurf_params(jax.random.PRNGKey(0), spec)
+    saved_blk = fused_sampler.BLOCK_R
     for blk in blocks:
         fused_sampler.set_block_r(blk)
         try:
@@ -91,7 +92,7 @@ def stage_endosurf(blocks):
         except Exception as e:
             _emit({"stage": "endosurf_train", "sampler_block_r": blk,
                    "error": repr(e)[:300]})
-    fused_sampler.set_block_r(256)
+    fused_sampler.set_block_r(saved_blk)
 
 
 def stage_serving(blocks):
@@ -114,6 +115,7 @@ def stage_serving(blocks):
     n = (len(all_rays) // chunk) * chunk
     rays = jnp.asarray(all_rays[:n]).reshape(-1, chunk, 9)
     fused_render.set_render_kernel_mode("auto")
+    saved_blk = fused_render.BLOCK_R
     for blk in blocks:
         fused_render.set_block_r(blk)
         try:
@@ -139,7 +141,7 @@ def stage_serving(blocks):
         except Exception as e:
             _emit({"stage": "serving", "render_block_r": blk,
                    "error": repr(e)[:300]})
-    fused_render.set_block_r(256)
+    fused_render.set_block_r(saved_blk)
 
 
 def stage_endonerf(blocks):
@@ -158,6 +160,7 @@ def stage_endonerf(blocks):
     tx = optax.adam(exponential(5e-4, 250))
     lw = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0}
     params0 = init_dnerf_params(jax.random.PRNGKey(0), spec)
+    saved_blk = fused_sampler.BLOCK_R
     for blk in blocks:
         fused_sampler.set_block_r(blk)
         try:
@@ -172,7 +175,7 @@ def stage_endonerf(blocks):
         except Exception as e:
             _emit({"stage": "endonerf_train", "sampler_block_r": blk,
                    "error": repr(e)[:300]})
-    fused_sampler.set_block_r(256)
+    fused_sampler.set_block_r(saved_blk)
 
 
 def main():
