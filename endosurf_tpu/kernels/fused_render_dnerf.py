@@ -1,0 +1,369 @@
+"""Pallas TPU inference megakernel for the EndoNeRF (D-NeRF) vertical: the
+ENTIRE eval render pipeline — coarse density sweep, importance resampling,
+fine field evaluation, and density compositing — as ONE kernel dispatch per
+ray block.
+
+Serving-path counterpart of kernels/fused_render.py for the density
+baseline (reference eval path /root/reference/src/renderer/endonerf.py:56-120
+consumed by trainer_endonerf.py:153-225): forward-only, so the whole per-ray
+state (z lists, per-sample sigma/rgb lanes) lives in VMEM from the coarse
+sweep to the composited pixel. Before this kernel, EndoNeRF serving composed
+the segment forwards (159.9k rays/s vs EndoSurf's 184k despite a cheaper,
+first-order model — round-3 VERDICT item 3).
+
+Construction reuses the proven in-kernel pieces:
+
+  * coarse sigma sweep: fused_sdf.py's fused two-net chain evaluator
+    (deform -> density head), EVAL_CHUNK lanes per fori_loop pass;
+  * resampling: fused_sampler.py::_fine_resample_math — coarse
+    1-exp(-sigma*dist) weights, deterministic inverse-CDF draws, 128-lane
+    bitonic merge (the same math the standalone fine-resample kernel runs
+    in the train step);
+  * fine field eval: fused_train_dnerf.py::forward_math — the identical
+    hand-laid lane math the training megakernel differentiates, traced
+    forward-only here, EVAL_GROUP sample lanes per fori_loop pass;
+  * compositing: raw2outputs (endonerf.py:168-196) in lane form —
+    exp alpha, Hillis-Steele transmittance, disparity-form depth.
+
+The Gaussian depth-guided z INIT (endonerf.py:65-68) stays OUTSIDE the
+kernel in XLA: it is jax.random traffic + a 64-lane sort on [R, 64] — cheap,
+and keeping it outside preserves bit-identical draws with the jnp path
+(key=None eval determinism, models/endonerf.py:286-289).
+
+Precision contract mirrors the EndoSurf render kernel: the coarse sweep runs
+at the SAMPLING precision (it only shapes the importance CDF), the fine eval
++ composite at the MAIN precision (fused_train compute-mode globals).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from endosurf_tpu.kernels import fused_train as ft
+from endosurf_tpu.kernels import fused_train_dnerf as ftd
+from endosurf_tpu.kernels.fused_sampler import (
+    BIG,
+    EVAL_CHUNK,
+    LANES,
+    _cols_to_lanes,
+    _const_specs,
+    _eval_lanes,
+    _fine_resample_math,
+    _lane_extract,
+    _matrix_operands,
+    _pad_rows,
+    _prefix_prod,
+    _ray_buffers,
+    _shl,
+    _unpack_matrices,
+    _validate_block_r,
+    kernel_gate,
+    kernel_mesh,
+)
+from endosurf_tpu.kernels.fused_sdf import build_density_eval_operands
+
+import os as _os
+
+# Rays per grid step. The first-order D-NeRF kernels favor LARGE blocks
+# (fused_train_dnerf won only at 1024-2048; at 256 it lost to XLA), so the
+# default starts high; sweepable via env / set_block_r.
+BLOCK_R = _validate_block_r(_os.environ.get("ESN_DNRENDER_BLOCK_R", 1024))
+EVAL_GROUP = 8       # sample lanes per in-kernel fine field-eval pass
+
+# Cap threaded into the most recent dispatch (a jit static — see
+# fused_sampler.LAST_BLOCK_R_CAP).
+LAST_BLOCK_R_CAP = None
+
+_MODE = "auto"       # auto | on | off (set_dnerf_render_kernel_mode)
+_MIN_RAYS = 256
+
+
+def set_dnerf_render_kernel_mode(mode: str) -> None:
+    global _MODE
+    assert mode in ("auto", "on", "off")
+    _MODE = mode
+
+
+def set_block_r(block_r: int) -> None:
+    """Override the ray-block size (validated; clears jit caches — see
+    fused_sampler.set_block_r)."""
+    global BLOCK_R
+    BLOCK_R = _validate_block_r(block_r)
+    jax.clear_caches()
+
+
+def dnerf_render_shape_supported(spec, rspec) -> bool:
+    """The in-kernel resample fills the 128-lane merge exactly (64 coarse +
+    64 draws), and the fine eval chunks by EVAL_GROUP."""
+    from endosurf_tpu.kernels.fused_sampler import (
+        fine_resample_shape_supported,
+    )
+    if not spec.use_deform:
+        # forward_math assumes the deform segment exists; the no-deform
+        # variant is config-reachable but not worth a second kernel program.
+        return False
+    if not fine_resample_shape_supported(rspec.n_samples, rspec.n_importance):
+        return False
+    return (rspec.n_samples + rspec.n_importance) % EVAL_GROUP == 0
+
+
+def dnerf_render_kernel_available(n_rays: int) -> bool:
+    return kernel_gate(_MODE, n_rays, _MIN_RAYS)
+
+
+def dnerf_render_mesh(n_rays: int):
+    """Mesh to shard_map the kernel over, or None (pallas_call has no GSPMD
+    rule; params replicated, rays sharded — per-ray independent)."""
+    return kernel_mesh(_MODE, n_rays, _MIN_RAYS)
+
+
+# ---------------------------------------------------------------------------
+# kernel body
+# ---------------------------------------------------------------------------
+
+def _render_dnerf_kernel(spec, cfg, n_first, sampling_dtype, counts, eff_def,
+                         o3_ref, d3_ref, dp_ref, z0_ref, *refs):
+    """One ray block: coarse sigma sweep -> resample -> fine eval ->
+    raw2outputs composite.
+
+    Output lanes (out_ref [R, 128]): 0-2 rgb, 3 depth (disparity form),
+    4 acc (weight sum); rest zero.
+    """
+    n0, n_new = cfg
+    n_den_const, n_den_layer, n_sel, n_eff, n_mat = counts
+    n_final = n0 + n_new
+
+    out_ref = refs[-1]
+    pos = 0
+    den_consts = tuple(r[...] for r in refs[pos:pos + n_den_const])
+    pos += n_den_const
+    flat = refs[pos:pos + n_den_layer]
+    den_layers = [(flat[2 * i][...], flat[2 * i + 1][...])
+                  for i in range(n_den_layer // 2)]
+    pos += n_den_layer
+    sel_names = ("S_d", "k_d", "S_s", "k_s", "S_r", "k_r")
+    sel = {k: refs[pos + i][...] for i, k in enumerate(sel_names)}
+    pos += n_sel
+    eff_leaves = [r[...] for r in refs[pos:pos + n_eff]]
+    pos += n_eff
+    misc = _unpack_matrices([r[...] for r in refs[pos:pos + n_mat]])
+    iota = misc[0:1, :]
+
+    eff = jax.tree_util.tree_unflatten(eff_def, eff_leaves)
+
+    o3 = o3_ref[...]
+    d3 = d3_ref[...]
+    dp = dp_ref[...]
+    z = z0_ref[...]
+    # |rays_d| from the padded direction lanes (raw2outputs dist scale).
+    dn = jnp.sqrt(jnp.sum(jnp.where(iota < 3.0, dp * dp, 0.0),
+                          axis=-1, keepdims=True))
+
+    # --- coarse sigma sweep (sampling precision, endonerf.py:82-91) -------
+    def _sweep_chunk(ci, raw_acc):
+        base = ci * EVAL_CHUNK
+        z_cols = [_lane_extract(z, iota, base + j)
+                  for j in range(EVAL_CHUNK)]
+        raw_cols = _eval_lanes(spec, n_first, sampling_dtype, den_consts,
+                               den_layers, o3, d3, z_cols)
+        for j, col in enumerate(raw_cols):
+            raw_acc = jnp.where(iota == base + j, col, raw_acc)
+        return raw_acc
+
+    raw_c = jax.lax.fori_loop(0, n0 // EVAL_CHUNK, _sweep_chunk,
+                              jnp.zeros_like(z))
+    # Eval path: no density noise (key=None), relu only (field_eval).
+    sigma_c = jnp.maximum(raw_c, 0.0)
+
+    # --- importance resampling (shared lane math) --------------------------
+    z = _fine_resample_math(z, sigma_c, dn, misc, n0, n_new)
+
+    # --- fine field eval at all 128 z lanes (main precision) ---------------
+    r_blk = o3.shape[0]
+    zeros = jnp.zeros_like(z)
+
+    def _field_chunk(ci, carry):
+        r_l, g_l, b_l, sg_l = carry
+        base = ci * EVAL_GROUP
+        z_cols = [_lane_extract(z, iota, base + j)
+                  for j in range(EVAL_GROUP)]
+        z3 = jnp.stack(z_cols, axis=0)                    # [C, R, 1]
+        xt = (o3[None, :, :] + z3 * d3[None, :, :]).reshape(
+            EVAL_GROUP * r_blk, LANES)
+        dp_t = jnp.broadcast_to(
+            dp[None, :, :], (EVAL_GROUP, r_blk, LANES)).reshape(
+            EVAL_GROUP * r_blk, LANES)
+        out = ftd.forward_math(spec, eff, sel, xt, dp_t)
+
+        rgb3 = out["rgb"].reshape(EVAL_GROUP, r_blk, LANES)
+        sig3 = out["raw_sigma"].reshape(EVAL_GROUP, r_blk, 1)
+        for j in range(EVAL_GROUP):
+            lane = base + j
+            r_l = jnp.where(iota == lane, rgb3[j][:, 0:1], r_l)
+            g_l = jnp.where(iota == lane, rgb3[j][:, 1:2], g_l)
+            b_l = jnp.where(iota == lane, rgb3[j][:, 2:3], b_l)
+            sg_l = jnp.where(iota == lane, sig3[j][:, :1], sg_l)
+        return (r_l, g_l, b_l, sg_l)
+
+    r_l, g_l, b_l, sg_l = jax.lax.fori_loop(
+        0, n_final // EVAL_GROUP, _field_chunk, (zeros,) * 4)
+
+    # --- raw2outputs composite (endonerf.py:168-196) ------------------------
+    sigma = jnp.maximum(sg_l, 0.0)                    # relu, no eval noise
+    z_next = _shl(z, 1, iota)
+    dists = jnp.where(iota < float(n_final - 1), z_next - z, 1.0e10) * dn
+    alpha = 1.0 - jnp.exp(-sigma * dists)
+    trans = _prefix_prod(1.0 - alpha + 1e-10, iota)
+    trans_excl = jnp.where(iota >= 1, pltpu.roll(trans, 1, 1), 1.0)
+    w = alpha * trans_excl
+
+    def wsum(x):
+        return jnp.sum(w * x, axis=-1, keepdims=True)
+
+    acc = jnp.sum(w, axis=-1, keepdims=True)
+    depth_raw = wsum(z * dn)
+    disp = 1.0 / jnp.maximum(1e-10, depth_raw / (acc + 1e-6))
+    depth = 1.0 / (disp + 1e-6)
+
+    cols = [wsum(r_l), wsum(g_l), wsum(b_l), depth, acc]
+    out_ref[...] = _cols_to_lanes(cols, list(range(len(cols))), iota,
+                                  jnp.zeros_like(z))
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def fused_render_rays_dnerf(spec, rspec, params: Dict[str, Any],
+                            rays: jnp.ndarray,
+                            sampling_dtype=jnp.float32,
+                            main_dtype=jnp.float32,
+                            main_precision: Optional[str] = "highest",
+                            interpret: bool = False
+                            ) -> Dict[str, jnp.ndarray]:
+    """Whole-pipeline forward DNeRF render of a ray batch in ONE dispatch.
+
+    Drop-in for the eval/demo consumers of models/endonerf.py::render_rays
+    (key=None, want_normals=False): returns {"color_map" [R,3],
+    "depth_map" [R,1], "acc_map" [R,1]} (EndoNeRF eval derives normals from
+    depth — trainer_endonerf.normals_from_depth).
+
+    Non-jit wrapper: reads BLOCK_R at call time and threads it into the
+    jitted impl as a static (fused_sampler staleness contract)."""
+    global LAST_BLOCK_R_CAP
+    LAST_BLOCK_R_CAP = BLOCK_R
+    return _fused_render_rays_dnerf(spec, rspec, params, rays, BLOCK_R,
+                                    sampling_dtype, main_dtype,
+                                    main_precision, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "rspec", "block_r_cap", "sampling_dtype", "main_dtype",
+    "main_precision", "interpret"))
+def _fused_render_rays_dnerf(spec, rspec, params: Dict[str, Any],
+                             rays: jnp.ndarray, block_r_cap: int,
+                             sampling_dtype=jnp.float32,
+                             main_dtype=jnp.float32,
+                             main_precision: Optional[str] = "highest",
+                             interpret: bool = False
+                             ) -> Dict[str, jnp.ndarray]:
+    assert dnerf_render_shape_supported(spec, rspec)
+    n = rays.shape[0]
+    n0 = rspec.n_samples
+
+    rays_o, rays_d = rays[..., 0:3], rays[..., 3:6]
+    near_or_mean, far_or_std = rays[..., 6:7], rays[..., 7:8]
+    t = rays[..., 8:9]
+    rays_d_z = rays_d / (rays_d[..., 2:3] + 1e-5)
+
+    # z INIT outside the kernel: jax.random draws + 64-lane sort, kept
+    # bit-identical with the jnp eval path (endonerf.py:65-68; key=None ->
+    # fixed PRNGKey(0), models/endonerf.py:286-289).
+    if rspec.use_depth_sampling:
+        mean = jnp.broadcast_to(near_or_mean, (n, n0))
+        std = jnp.broadcast_to(far_or_std, (n, n0))
+        zi = mean + std * jax.random.normal(jax.random.PRNGKey(0),
+                                            mean.shape, mean.dtype)
+        z_vals = jnp.sort(zi, axis=-1)
+    else:
+        t_vals = jnp.linspace(0.0, 1.0, n0, dtype=rays.dtype)
+        z_vals = near_or_mean * (1.0 - t_vals) + far_or_std * t_vals
+
+    block_r = min(block_r_cap, max(8, 1 << (n - 1).bit_length()))
+    n_total = ((n + block_r - 1) // block_r) * block_r
+
+    o3, d3, _rc = _ray_buffers(rays_o.astype(jnp.float32),
+                               rays_d_z.astype(jnp.float32),
+                               t.astype(jnp.float32))
+    dp = jnp.concatenate(
+        [rays_d.astype(jnp.float32),
+         jnp.zeros((n, LANES - 3), jnp.float32)], axis=-1)
+    z0 = jnp.concatenate(
+        [z_vals.astype(jnp.float32),
+         jnp.full((n, LANES - n0), BIG, jnp.float32)], axis=-1)
+    # Padding rays are all-zero: sigma/weights collapse to finite values and
+    # padded outputs are sliced away.
+    o3, d3, dp, z0 = (_pad_rows(x, n_total) for x in (o3, d3, dp, z0))
+
+    # Sampling-path operands (coarse sigma chain).
+    den_consts, den_layers, n_first = build_density_eval_operands(
+        spec, params, sampling_dtype)
+    # Main-path operands: selectors + effective weights for forward_math.
+    # set_compute_mode is a trace-time side effect keyed by the
+    # (main_dtype, main_precision) statics (fused_render.py pattern).
+    # Mosaic has no HIGH dot precision: promote to "highest" in-kernel.
+    if main_precision == "high":
+        main_precision = "highest"
+    prev_mode = (ft._COMPUTE_DTYPE, ft._PRECISION)
+    ft.set_compute_mode(main_dtype, main_precision)
+    try:
+        sel_np = ftd.selectors_dnerf(spec)
+        sel_arrays = [jnp.asarray(sel_np[k]) for k in
+                      ("S_d", "k_d", "S_s", "k_s", "S_r", "k_r")]
+        eff = ftd.prepare_effective_dnerf(spec, params)
+        eff_leaves, eff_def = jax.tree_util.tree_flatten(
+            jax.tree_util.tree_map(
+                lambda a_: a_[None, :] if a_.ndim == 1 else a_, eff))
+        mats = _matrix_operands()
+
+        # den_layers from build_density_eval_operands is already a FLAT
+        # [w0, b0, w1, b1, ...] list; the kernel re-pairs it.
+        counts = (len(den_consts), len(den_layers), len(sel_arrays),
+                  len(eff_leaves), len(mats))
+        grid = (n_total // block_r,)
+        row_spec = pl.BlockSpec((block_r, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs = ([row_spec] * 4
+                    + _const_specs(list(den_consts) + den_layers
+                                   + sel_arrays + eff_leaves + mats))
+        out = pl.pallas_call(
+            functools.partial(
+                _render_dnerf_kernel, spec,
+                (n0, rspec.n_importance), n_first, sampling_dtype,
+                counts, eff_def),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block_r, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_total, LANES), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+        )(o3, d3, dp, z0,
+          *den_consts, *den_layers, *sel_arrays, *eff_leaves, *mats)
+    finally:
+        ft.set_compute_mode(*prev_mode)
+
+    return {
+        "color_map": out[:n, 0:3],
+        "depth_map": out[:n, 3:4],
+        "acc_map": out[:n, 4:5],
+    }

@@ -385,3 +385,64 @@ def render_rays(spec: DNeRFSpec, rspec: DNeRFRenderSpec, params: Params,
         grad = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
         out["normal_map"] = jnp.sum(weights[..., None] * grad, axis=1)
     return out
+
+
+def render_rays_inference(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
+                          params: Params, rays: jnp.ndarray,
+                          use_importance: bool = True
+                          ) -> Dict[str, jnp.ndarray]:
+    """Forward-only DNeRF render for the serving paths (eval/test/demo).
+
+    Dispatches the whole pipeline — coarse sigma sweep, importance
+    resampling, fine field eval, raw2outputs composite — to ONE Pallas
+    kernel per ray block on TPU (kernels/fused_render_dnerf.py); falls back
+    to the differentiable :func:`render_rays` (key=None) elsewhere.
+    Mirrors models/endosurf.py::render_rays_inference (reference eval path
+    endonerf.py:56-120 via trainer_endonerf.py:153-225).
+    """
+    from endosurf_tpu.kernels.fused_render_dnerf import (
+        dnerf_render_kernel_available,
+        dnerf_render_mesh,
+        dnerf_render_shape_supported,
+        fused_render_rays_dnerf,
+    )
+    n_rays = rays.shape[0]
+    shapes_ok = (use_importance and rspec.n_importance > 0
+                 and dnerf_render_shape_supported(spec, rspec))
+    mesh = dnerf_render_mesh(n_rays) if shapes_ok else None
+    if shapes_ok and (dnerf_render_kernel_available(n_rays)
+                      or mesh is not None):
+        from endosurf_tpu.models.endosurf import (_sampler_interpret,
+                                                  _sampling_compute_dtype)
+        from endosurf_tpu.ops.mlp import get_matmul_precision
+        prec = get_matmul_precision()
+        main_dtype = jnp.bfloat16 if prec == "default" else jnp.float32
+        main_prec = None if prec == "default" else (
+            "high" if prec == "high" else "highest")
+        with sampling_precision_scope():
+            samp_dtype = _sampling_compute_dtype()
+
+        def _render(p, r):
+            return fused_render_rays_dnerf(
+                spec, rspec, p, r,
+                sampling_dtype=samp_dtype, main_dtype=main_dtype,
+                main_precision=main_prec,
+                interpret=_sampler_interpret())
+
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            keys = ("color_map", "depth_map", "acc_map")
+            _render = shard_map(
+                _render, mesh=mesh,
+                in_specs=(P(), P("data")),
+                out_specs={k: P("data") for k in keys}, check_vma=False)
+        return _render(params, rays)
+    if not use_importance:
+        rspec = dataclasses.replace(rspec, n_importance=0)
+    out = render_rays(spec, rspec, params, rays, key=None,
+                      want_normals=False)
+    # Uniform serving contract with the kernel path (weights [R,128] are a
+    # train-step output; eval consumers never read them).
+    return {"color_map": out["color_map"], "depth_map": out["depth_map"],
+            "acc_map": jnp.sum(out["weights"], axis=-1, keepdims=True)}

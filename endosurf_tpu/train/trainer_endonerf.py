@@ -109,6 +109,12 @@ class EndoNeRFTrainer(Trainer):
             set_dnerf_megakernel_mode
         set_dnerf_megakernel_mode(self.train_cfg.get("megakernel", "auto"))
         set_sampler_kernel_mode(self.train_cfg.get("sampler_kernel", "auto"))
+        # Whole-pipeline inference megakernel for eval/test/demo renders
+        # (kernels/fused_render_dnerf.py; same knob name as EndoSurf).
+        from endosurf_tpu.kernels.fused_render_dnerf import \
+            set_dnerf_render_kernel_mode
+        set_dnerf_render_kernel_mode(
+            self.train_cfg.get("render_kernel", "auto"))
 
         seed = cfg.get("exp", {}).get("seed", 0)
         self.key = jax.random.PRNGKey(seed)
@@ -200,6 +206,12 @@ class EndoNeRFTrainer(Trainer):
     normals_from_depth = True
 
     def render_fn(self, use_importance: bool = True):
+        """Jitted chunk renderer for eval/test/demo (render_full_frames
+        contract). ``use_importance`` is honored (False drops the
+        importance stage, mirroring the EndoSurf trainer's hook); ``step_f``
+        stays in the signature for the shared contract but is genuinely
+        unused — DNeRF has no annealing (reference endonerf.py:56-120)."""
+        from endosurf_tpu.models.endonerf import render_rays_inference
         from endosurf_tpu.parallel.mesh import constrain_axis0, \
             replicate_outputs
         spec, rspec, mesh = self.spec, self.rspec, self.mesh
@@ -207,9 +219,9 @@ class EndoNeRFTrainer(Trainer):
         @jax.jit
         def fn(params, rays, step_f):
             del step_f
-            out = render_rays(spec, rspec, params,
-                              constrain_axis0(rays, mesh), key=None,
-                              want_normals=False)
+            out = render_rays_inference(spec, rspec, params,
+                                        constrain_axis0(rays, mesh),
+                                        use_importance=use_importance)
             return replicate_outputs(out, mesh)
         return fn
 

@@ -66,6 +66,14 @@ def main():
                          "window; bit-equivalent to K=1). K=20 keeps a "
                          "single-process 100k run under ~5k dispatches "
                          "(the tunnel's observed wedge threshold).")
+    ap.add_argument("--ablation", default=None,
+                    choices=["no_sdf", "no_angle", "no_eikonal",
+                             "no_surf_neig"],
+                    help="EndoSurf loss-term ablation: zero the named "
+                         "loss weight, mirroring the reference's "
+                         "configs/endosurf/ablation/*.yml (loss wiring "
+                         "reference trainer_endosurf.py:157-162; zeroed "
+                         "terms are compiled out of the step)")
     # Deform-capacity sweep knobs (EndoSurf only): vary the deform net
     # against the reference architecture (9x256, 6 time octaves, shared LR
     # — endosurf.py:692-738 / base_pull.yml net.deform_network).
@@ -127,6 +135,12 @@ def main():
                      "marching_cubes_resolution": args.mc_res,
                      "marching_cubes_thresh": 0},
         }
+        if args.ablation:
+            key = {"no_sdf": "sdf_loss_weight",
+                   "no_angle": "angle_loss_weight",
+                   "no_eikonal": "eikonal_loss_weight",
+                   "no_surf_neig": "surf_neig_loss_weight"}[args.ablation]
+            cfg["train"][key] = 0.0
         dn = cfg["net"]["deform_network"]
         if args.deform_width:
             dn["hidden_dim"] = args.deform_width
@@ -201,7 +215,7 @@ def main():
                                  demo_stats.get("geo_err_per_frame", [])],
     }
     for k in ("deform_width", "deform_layers", "time_octaves",
-              "deform_lr_mult"):
+              "deform_lr_mult", "ablation"):
         if getattr(args, k) is not None:
             out[k] = getattr(args, k)
     if done_steps:
