@@ -215,9 +215,20 @@ def upsample_z(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
 
 def render_core(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
                 z_vals: jnp.ndarray, sample_dist: float,
-                anneal: jnp.ndarray, remat: bool = False
+                anneal: jnp.ndarray, remat: bool = False,
+                extra_pts: Optional[jnp.ndarray] = None,
+                extra_dirs: Optional[jnp.ndarray] = None,
+                extra_t: Optional[jnp.ndarray] = None
                 ) -> Dict[str, jnp.ndarray]:
-    """Evaluate fields at section midpoints and composite (endosurf.py:134-213)."""
+    """Evaluate fields at section midpoints and composite (endosurf.py:134-213).
+
+    ``extra_pts/extra_dirs/extra_t`` [E, .] are appended to the sample
+    points for the SAME fused field evaluation and returned as
+    ``extra_sdf`` [E, 1] / ``extra_grad`` [E, 3]: the train step batches its
+    auxiliary loss queries (depth points, surface-neighbour normals) into
+    this one megakernel dispatch instead of running separate small XLA
+    fwd+bwd programs (round-3 step attribution: ~2-4 ms of seams).
+    """
     rays_o, rays_d, rays_d_z, t = _split_rays(rays)
     n_rays, n_samples = z_vals.shape
 
@@ -230,10 +241,22 @@ def render_core(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     tt = jnp.broadcast_to(t[:, None, :], (n_rays, n_samples, 1))
 
-    out = fused_point_eval(
-        spec, params,
-        pts.reshape(-1, 3), dirs.reshape(-1, 3), tt.reshape(-1, 1),
-        remat=remat)
+    n_core = n_rays * n_samples
+    pts_f, dirs_f, tt_f = (pts.reshape(-1, 3), dirs.reshape(-1, 3),
+                           tt.reshape(-1, 1))
+    if extra_pts is not None:
+        pts_f = jnp.concatenate([pts_f, extra_pts], axis=0)
+        dirs_f = jnp.concatenate([dirs_f, extra_dirs], axis=0)
+        tt_f = jnp.concatenate([tt_f, extra_t], axis=0)
+
+    out = fused_point_eval(spec, params, pts_f, dirs_f, tt_f, remat=remat)
+    extra_out = {}
+    if extra_pts is not None:
+        # fused_point_eval's sdf is 1-D [N]; the aux consumers follow the
+        # sdf_observed [E, 1] convention.
+        extra_out = {"extra_sdf": out["sdf"][n_core:, None],
+                     "extra_grad": out["grad_o"][n_core:]}
+        out = {k: v[:n_core] for k, v in out.items()}
     sdf = out["sdf"].reshape(n_rays, n_samples)
     color = out["color"].reshape(n_rays, n_samples, 3)
     grad_o = out["grad_o"].reshape(n_rays, n_samples, 3)
@@ -267,6 +290,7 @@ def render_core(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
         # is a single broadcast scalar, so the mean equals the scalar — the
         # [n_rays, 1] shape is kept for side-by-side TB parity.
         "s_val": jnp.broadcast_to(1.0 / s_inv, (n_rays, 1)),
+        **extra_out,
     }
 
 
@@ -274,7 +298,11 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
                 rays: jnp.ndarray, iter_step: jnp.ndarray,
                 key: Optional[jax.Array] = None,
                 use_importance: bool = True,
-                remat: bool = False) -> Dict[str, jnp.ndarray]:
+                remat: bool = False,
+                extra_pts: Optional[jnp.ndarray] = None,
+                extra_dirs: Optional[jnp.ndarray] = None,
+                extra_t: Optional[jnp.ndarray] = None
+                ) -> Dict[str, jnp.ndarray]:
     """Render a batch of rays (endosurf.py:60-132).
 
     Args:
@@ -284,6 +312,8 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
       use_importance: static toggle for the upsampling stage (the trainer
         selects the variant by comparing step to ``important_begin_iter``;
         with the default configs it is always on).
+      extra_pts/extra_dirs/extra_t: auxiliary points batched into the
+        render_core field evaluation (see render_core).
     """
     rays_o, rays_d, rays_d_z, t = _split_rays(rays)
     near, far, _ = ray_sphere_intersection(rays_o, rays_d)
@@ -324,7 +354,8 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
                                rays_o, rays_d_z, t, z_vals))
 
     return render_core(spec, params, rays, z_vals, sample_dist, anneal,
-                       remat=remat)
+                       remat=remat, extra_pts=extra_pts,
+                       extra_dirs=extra_dirs, extra_t=extra_t)
 
 
 def render_rays_inference(spec: EndoSurfSpec, rspec: RenderSpec,
@@ -389,18 +420,21 @@ def render_rays_inference(spec: EndoSurfSpec, rspec: RenderSpec,
 # depth-supervision and surface-regularization queries
 # ---------------------------------------------------------------------------
 
-def error_on_depth(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
-                   depth_gt: jnp.ndarray, mask: jnp.ndarray
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """SDF + angle error at ground-truth depth points (endosurf.py:289-317).
+def depth_points(rays: jnp.ndarray, depth_gt: jnp.ndarray) -> jnp.ndarray:
+    """Ground-truth depth points along rays (endosurf.py:289-295)."""
+    rays_o, _rays_d, rays_d_z, _t = _split_rays(rays)
+    return rays_o + rays_d_z * depth_gt
 
-    Returns (sdf_error, angle_error, valid_region [R,1]).
-    """
-    rays_o, rays_d, rays_d_z, t = _split_rays(rays)
-    pts = rays_o + rays_d_z * depth_gt
-    sdf = sdf_observed(spec, params, pts, t)
-    grad = sdf_grad_observed(spec, params, pts, t)
 
+def error_on_depth_from(sdf: jnp.ndarray, grad: jnp.ndarray,
+                        pts: jnp.ndarray, rays: jnp.ndarray,
+                        mask: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """SDF + angle error math given the field outputs at the depth points
+    (endosurf.py:289-317). Split from :func:`error_on_depth` so the train
+    step can batch the field query with the render_core points (one
+    megakernel dispatch instead of separate 1024-point XLA programs)."""
+    rays_d = rays[..., 3:6]
     true_cos = jnp.sum(rays_d * grad, axis=-1, keepdims=True)
     relu_cos = jax.nn.relu(true_cos)
     pts_norm = jnp.linalg.norm(jax.lax.stop_gradient(pts), axis=-1,
@@ -412,6 +446,20 @@ def error_on_depth(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
     # masked count (endosurf.py:315); reproduced as-is.
     angle_error = jnp.sum(jnp.abs(relu_cos)) / denom
     return sdf_error, angle_error, inside_masksphere
+
+
+def error_on_depth(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
+                   depth_gt: jnp.ndarray, mask: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """SDF + angle error at ground-truth depth points (endosurf.py:289-317).
+
+    Returns (sdf_error, angle_error, valid_region [R,1]).
+    """
+    _rays_o, _rays_d, _rays_d_z, t = _split_rays(rays)
+    pts = depth_points(rays, depth_gt)
+    sdf = sdf_observed(spec, params, pts, t)
+    grad = sdf_grad_observed(spec, params, pts, t)
+    return error_on_depth_from(sdf, grad, pts, rays, mask)
 
 
 def ray_march(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
@@ -477,16 +525,15 @@ def ray_march(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
     return d_safe[:, None], valid[:, None]
 
 
-def surface_neighbour_error(spec: EndoSurfSpec, params: Params,
-                            rays: jnp.ndarray, mask: jnp.ndarray,
-                            key: jax.Array, neighbour_rad: float = 0.05
-                            ) -> jnp.ndarray:
-    """Normal-consistency regularizer near the traced surface
-    (endosurf.py:319-342), as a fixed-shape masked mean."""
+def surface_neighbour_points(spec: EndoSurfSpec, params: Params,
+                             rays: jnp.ndarray, mask: jnp.ndarray,
+                             key: jax.Array, neighbour_rad: float = 0.05
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sphere-trace the surface and draw neighbour offsets
+    (endosurf.py:319-332): the sampling-only half of
+    :func:`surface_neighbour_error`. Returns (pts2 [2R, 3] — surface points
+    then neighbours — and valid [R, 1])."""
     rays_o, rays_d, rays_d_z, t = _split_rays(rays)
-    # Sampling-only: the sphere trace just localizes the surface depth under
-    # stop_gradient; run it at the sampling matmul precision (as one Pallas
-    # kernel on TPU — fused_sampler.py).
     with sampling_precision_scope():
         sg_params = jax.lax.stop_gradient(params)
         from endosurf_tpu.kernels.fused_sampler import march_sampler_mesh
@@ -514,17 +561,34 @@ def surface_neighbour_error(spec: EndoSurfSpec, params: Params,
     offset = (jax.random.uniform(key, p_surf.shape, dtype=p_surf.dtype) - 0.5
               ) * neighbour_rad
     p_neig = p_surf + offset
+    return jnp.concatenate([p_surf, p_neig], axis=0), valid
 
-    pts2 = jnp.concatenate([p_surf, p_neig], axis=0)
-    t2 = jnp.concatenate([t, t], axis=0)
-    g = sdf_grad_observed(spec, params, pts2, t2)
-    normal = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-10)
-    n_rays = rays.shape[0]
+
+def surface_neighbour_error_from(g2: jnp.ndarray, valid: jnp.ndarray
+                                 ) -> jnp.ndarray:
+    """Normal-consistency math given the SDF gradients at the surface +
+    neighbour points (endosurf.py:330-342). Split out so the train step can
+    batch the gradient query with the render_core points."""
+    n_rays = g2.shape[0] // 2
+    normal = g2 / (jnp.linalg.norm(g2, axis=-1, keepdims=True) + 1e-10)
     diff = jnp.abs(normal[:n_rays] - normal[n_rays:])  # [R, 3]
-
     valid_f = valid.astype(diff.dtype)
     denom = jnp.sum(valid_f) * 3.0
     return jnp.sum(diff * valid_f) / jnp.maximum(denom, 1.0)
+
+
+def surface_neighbour_error(spec: EndoSurfSpec, params: Params,
+                            rays: jnp.ndarray, mask: jnp.ndarray,
+                            key: jax.Array, neighbour_rad: float = 0.05
+                            ) -> jnp.ndarray:
+    """Normal-consistency regularizer near the traced surface
+    (endosurf.py:319-342), as a fixed-shape masked mean."""
+    t = rays[..., 8:9]
+    pts2, valid = surface_neighbour_points(spec, params, rays, mask, key,
+                                           neighbour_rad)
+    t2 = jnp.concatenate([t, t], axis=0)
+    g = sdf_grad_observed(spec, params, pts2, t2)
+    return surface_neighbour_error_from(g, valid)
 
 
 def render_on_depth(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,

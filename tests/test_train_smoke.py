@@ -363,3 +363,51 @@ def test_deform_lr_mult(scene, tmp_path_factory):
     # the sdf update unchanged.
     assert 1.7 < d2 / d1 < 2.3
     np.testing.assert_allclose(s2, s1, rtol=1e-5)
+
+
+def test_fold_aux_queries_matches_unfolded(scene):
+    """fold_aux batches the error_on_depth / surface-neighbour field
+    queries into render_core's fused evaluation; the losses must match the
+    separate-query path (identical math, different program structure)."""
+    import jax.numpy as jnp
+    import optax
+
+    from endosurf_tpu.models.endosurf import RenderSpec
+    from endosurf_tpu.models.fields import (EndoSurfSpec, MLPSpec,
+                                            init_endosurf_params)
+    from endosurf_tpu.train.schedules import warmup_cosine
+    from endosurf_tpu.train.trainer_endosurf import make_train_step
+
+    spec = EndoSurfSpec(
+        deform_pos_freqs=2, deform_time_freqs=2, sdf_pos_freqs=2,
+        color_pos_freqs=2, color_dir_freqs=2,
+        deform=MLPSpec(2, 32, (), 3), sdf=MLPSpec(2, 32, (), 17),
+        color=MLPSpec(2, 32, (), 3), color_feat_dim=16)
+    rspec = RenderSpec(n_samples=4, n_importance=4, up_sample_steps=2,
+                       anneal_end=10.0)
+    tx = optax.adam(warmup_cosine(5e-4, 5, 100, 0.05))
+    lw = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0,
+          "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
+          "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1}
+    params0 = init_endosurf_params(jax.random.PRNGKey(0), spec)
+
+    res = {}
+    for fold in (False, True):
+        step_fn = make_train_step(
+            spec, rspec, tx, scene.h, scene.w, 32, lw, surf_neig_rad=0.1,
+            remat=False, fold_aux=fold)
+        import jax.numpy as jnp
+        p = jax.tree_util.tree_map(jnp.array, params0)
+        o = tx.init(p)
+        key = jax.random.PRNGKey(7)
+        ms = []
+        for i in range(3):
+            key, k = jax.random.split(key)
+            p, o, m = step_fn(p, o, scene.device_arrays, k,
+                              jnp.asarray(float(i + 1)))
+            ms.append({kk: float(np.asarray(v)) for kk, v in m.items()})
+        res[fold] = ms
+    for i in range(3):
+        for k, va in res[False][i].items():
+            vb = res[True][i][k]
+            assert abs(va - vb) <= 2e-5 + 1e-4 * abs(va), (i, k, va, vb)
