@@ -45,9 +45,9 @@ def main():
                     choices=["endosurf", "endonerf"],
                     help="endonerf measures the baseline vertical's eval "
                          "renderer (depth-guided sampling, slots 6/7 "
-                         "rewritten like eval_ray_transform); the render "
-                         "kernel serves EndoSurf only, so its sweep "
-                         "collapses to one row")
+                         "rewritten like eval_ray_transform); --render-"
+                         "kernel sweeps its whole-pipeline kernel "
+                         "(kernels/fused_render_dnerf.py)")
     args = ap.parse_args()
 
     import jax
@@ -79,17 +79,19 @@ def main():
     if args.model == "endonerf":
         # eval_ray_transform equivalent: gt depth + sigma into slots 6/7
         # (reference trainer_endonerf.py:163-165).
+        from endosurf_tpu.kernels.fused_render_dnerf import \
+            set_dnerf_render_kernel_mode
         from endosurf_tpu.models.endonerf import (DNeRFRenderSpec,
                                                   DNeRFSpec,
                                                   init_dnerf_params)
-        from endosurf_tpu.models.endonerf import render_rays as dn_render
+        from endosurf_tpu.models.endonerf import \
+            render_rays_inference as dn_render
         en_spec, en_rspec = DNeRFSpec(), DNeRFRenderSpec()
         en_params = init_dnerf_params(jax.random.PRNGKey(0), en_spec)
         all_rays = all_rays.copy()
         all_rays[:, 6:7] = np.asarray(
             arrays["depths"][0]).reshape(-1, 1)
         all_rays[:, 7] = en_rspec.depth_sampling_sigma
-        args.render_kernel = ["n/a"]
     else:
         spec, rspec = EndoSurfSpec(), RenderSpec()
         params = init_endosurf_params(jax.random.PRNGKey(0), spec)
@@ -103,13 +105,14 @@ def main():
         # trace time, so a cached trace would pin the previous mode.
         if args.model == "endonerf":
             params = en_params
+            set_dnerf_render_kernel_mode(rk_mode)
 
-            # want_normals=False matches the trainer's eval render_fn (the
-            # reference derives EndoNeRF display normals from depth).
+            # render_rays_inference matches the trainer's eval render_fn
+            # (want_normals=False inside; the reference derives EndoNeRF
+            # display normals from depth).
             @jax.jit
             def render(params, rays):
-                return dn_render(en_spec, en_rspec, params, rays, key=None,
-                                 want_normals=False)
+                return dn_render(en_spec, en_rspec, params, rays)
         else:
             set_render_kernel_mode(rk_mode)
 
