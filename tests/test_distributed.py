@@ -120,7 +120,32 @@ def test_two_process_train_step(tmp_path):
     assert len(vals) == 1, vals  # identical replicated loss on both hosts
 
 
-def _run_workers(worker_src: str, n: int = 2, timeout: int = 600):
+def _communicate_all(procs, timeout):
+    """communicate() every worker; on timeout KILL the whole pair and fail
+    with the partial output (a raw TimeoutExpired from communicate leaks
+    the peer process and reports nothing — the round-3 full-suite flake).
+    The margin is sized for this 1-core box under suite load: in isolation
+    the heaviest caller finishes in ~3 min."""
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=timeout)[0])
+        except subprocess.TimeoutExpired:
+            partial = []
+            for q in procs:
+                q.kill()
+                try:
+                    partial.append(q.communicate(timeout=30)[0])
+                except Exception:
+                    partial.append("<no output>")
+            pytest.fail(
+                f"worker timed out after {timeout}s under load; partial "
+                "output:\n" + "\n=== next process ===\n".join(
+                    o[-3000:] for o in partial))
+    return outs
+
+
+def _run_workers(worker_src: str, n: int = 2, timeout: int = 1800):
     port = _free_port()
     procs = []
     for pid in range(n):
@@ -137,14 +162,14 @@ def _run_workers(worker_src: str, n: int = 2, timeout: int = 600):
         procs.append(subprocess.Popen(
             [sys.executable, "-c", worker_src], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    outs = _communicate_all(procs, timeout)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
     return outs
 
 
 def test_two_process_global_mesh(tmp_path):
-    outs = _run_workers(WORKER, timeout=300)
+    outs = _run_workers(WORKER, timeout=900)
     for out in outs:
         assert "DIST_OK" in out
 
@@ -195,7 +220,7 @@ def _cli_cfg(scene_pkl, n_iter):
     }
 
 
-def _run_cli_pair(cfg_path, cwd, n=2, timeout=900):
+def _run_cli_pair(cfg_path, cwd, n=2, timeout=2400):
     port = _free_port()
     procs = []
     for pid in range(n):
@@ -213,7 +238,7 @@ def _run_cli_pair(cfg_path, cwd, n=2, timeout=900):
              "--mode", "train", "--platform", "cpu"],
             cwd=cwd, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    outs = _communicate_all(procs, timeout)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"CLI process {pid} failed:\n{out[-4000:]}"
     return outs

@@ -236,5 +236,46 @@ def test_lpips_weights_schema_validation(tmp_path):
         conv1_b=np.zeros(3, np.float32)), "out-channels")
 
 
+def test_lpips_e2e_eval_wiring(tmp_path, monkeypatch):
+    """VERDICT r3 item 8: with a weights file PRESENT, a full trainer eval
+    must emit lpips_rgb_vr in stats_out.txt — proving the one
+    environment-blocked metric (pretrained VGG weights, zero egress) needs
+    strictly a weights file dropped at lpips_jax.WEIGHTS_PATH, no code.
+    Reference surface: trainer_endosurf.py:267,356 via utils.py:460-502."""
+    import glob
+    import os.path as osp
+
+    from test_train_smoke import tiny_cfg
+
+    import endosurf_tpu.evaluation.lpips_jax as lj
+    from endosurf_tpu.data.scene_data import SceneData, make_synthetic_scene
+    from endosurf_tpu.train.trainer_endosurf import EndoSurfTrainer
+
+    rng = np.random.default_rng(0)
+    wpath = str(tmp_path / "lpips_vgg16.npz")
+    _tiny_vgg_npz(rng, wpath)
+    monkeypatch.setattr(lj, "WEIGHTS_PATH", wpath)
+    lj.lpips_fn.cache_clear()  # an earlier gated call cached None
+    try:
+        # 32x32 frames: VGG taps pool 4x, tiny-but-even at every level.
+        pkl = make_synthetic_scene(str(tmp_path / "scene"), n_frames=4,
+                                   h=32, w=32)
+        scene = SceneData.load(pkl)
+        cfg = tiny_cfg(str(tmp_path), n_iter=2)
+        cfg["log"] = {"i_eval": 2, "i_save": 2}
+        trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
+        trainer.start(log_every=100)
+        stats_files = glob.glob(
+            osp.join(trainer.exp_dir, "eval", "*", "stats_out.txt"))
+        assert stats_files
+        stats = open(stats_files[0]).read()
+        assert "lpips_rgb_vr" in stats, stats
+        val = float([l for l in stats.splitlines()
+                     if l.startswith("lpips_rgb_vr")][0].split(":")[1])
+        assert np.isfinite(val) and val >= 0.0
+    finally:
+        lj.lpips_fn.cache_clear()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
