@@ -116,17 +116,17 @@ def bench_endosurf():
                     ray_batch, tag="endosurf")
 
 
-def bench_eval_serving(budget_s: float = 1800.0):
+def bench_eval_serving(model: str = "endosurf", budget_s: float = 1800.0):
     """Serving-path throughput (eval/demo renderer, no gradients) at the
     shipping config: 2048-ray chunks through render_rays_inference (the
-    fused whole-pipeline kernel on TPU, kernels/fused_render.py).
+    fused whole-pipeline kernels on TPU, kernels/fused_render*.py).
 
     Runs as a BOUNDED SUBPROCESS (tools/bench_eval.py) so a tunnel stall
     here can only cost its own budget, never the headline training metric
     (the caller cancels its watchdog first). The budget is generous: the
     render-kernel Mosaic compile is ~300 s uncached and a timeout KILLS the
     child mid-compile, which can wedge the tunnel for whatever runs next
-    (CLAUDE.md) — this stage is therefore the LAST device work in bench.
+    (CLAUDE.md) — these stages are therefore the LAST device work in bench.
     Returns rays/s or None."""
     import os.path as osp
     import subprocess
@@ -134,7 +134,7 @@ def bench_eval_serving(budget_s: float = 1800.0):
 
     cmd = [sys.executable,
            osp.join(osp.dirname(osp.abspath(__file__)), "tools",
-                    "bench_eval.py"),
+                    "bench_eval.py"), "--model", model,
            "--chunks", "2048", "--chunks-per-call", "1", "--frames", "2",
            "--render-kernel", "auto"]
     try:
@@ -148,7 +148,7 @@ def bench_eval_serving(budget_s: float = 1800.0):
             rec = json.loads(line)
         except ValueError:
             continue
-        if rec.get("metric") == "endosurf_eval_rays_per_sec":
+        if rec.get("metric") == f"{model}_eval_rays_per_sec":
             value = rec["value"]
     return value
 
@@ -198,13 +198,16 @@ def main():
     # stage so a stall there can never discard the headline — the serving
     # subprocess is bounded by its own budget instead.
     watchdog.cancel()
-    try:
-        eval_rate = bench_eval_serving()
-    except Exception as e:
-        import sys
-        print(f"# bench_eval_serving failed: {e!r}", file=sys.stderr,
-              flush=True)
-        eval_rate = None
+    eval_rates = {}
+    for model in ("endosurf", "endonerf"):
+        try:
+            eval_rates[model] = bench_eval_serving(model)
+        except Exception as e:
+            import sys
+            print(f"# bench_eval_serving({model}) failed: {e!r}",
+                  file=sys.stderr, flush=True)
+            eval_rates[model] = None
+    eval_rate = eval_rates["endosurf"]
 
     rays_per_sec = float(np.median(es_rates))
     print(json.dumps({
@@ -221,9 +224,12 @@ def main():
         "window_rays_per_sec": [round(r, 1) for r in es_rates],
         "endonerf_rays_per_sec": round(float(np.median(en_rates)), 1),
         "endonerf_window_rays_per_sec": [round(r, 1) for r in en_rates],
-        # Serving path (eval/demo renderer, fused inference kernel on TPU).
+        # Serving paths (eval/demo renderer, fused inference kernels on TPU).
         "eval_rays_per_sec": (round(eval_rate, 1)
                               if eval_rate is not None else None),
+        "endonerf_eval_rays_per_sec": (
+            round(eval_rates["endonerf"], 1)
+            if eval_rates.get("endonerf") is not None else None),
     }))
 
 

@@ -73,7 +73,10 @@ import os as _os
 # Rays per grid step. The first-order D-NeRF kernels favor LARGE blocks
 # (fused_train_dnerf won only at 1024-2048; at 256 it lost to XLA), so the
 # default starts high; sweepable via env / set_block_r.
-BLOCK_R = _validate_block_r(_os.environ.get("ESN_DNRENDER_BLOCK_R", 1024))
+# 2048 wins the on-TPU block sweep for this lean first-order kernel
+# (202.8k vs 199.2k rays/s at 1024 — logs/r4_dnerf_probe.log; same
+# pattern as the DNeRF train megakernel, CLAUDE.md round-3 notes).
+BLOCK_R = _validate_block_r(_os.environ.get("ESN_DNRENDER_BLOCK_R", 2048))
 EVAL_GROUP = 8       # sample lanes per in-kernel fine field-eval pass
 
 # Cap threaded into the most recent dispatch (a jit static — see

@@ -31,7 +31,7 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
                     tx: optax.GradientTransformation, h: int, w: int,
                     ray_batch: int, loss_weights: Dict[str, float],
                     mask_guided: bool = True, mesh=None,
-                    steps_per_call: int = 1):
+                    steps_per_call: int = 1, presample: bool = True):
     def loss_fn(params, batch, key):
         rays = batch["rays"]
         if rspec.use_depth_sampling:
@@ -44,11 +44,7 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
         out = render_rays(spec, rspec, params, rays, key=key)
         return endonerf_loss_terms(out, batch, loss_weights)
 
-    def one_step(params, opt_state, arrays, key, step_f):
-        del step_f  # the DNeRF objective has no step-dependent annealing
-        k_batch, k_loss = jax.random.split(key)
-        batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
-                                   mask_guided=mask_guided)
+    def compute_step(params, opt_state, batch, k_loss):
         if mesh is not None:
             from endosurf_tpu.parallel.mesh import shard_ray_batch
             batch = shard_ray_batch(batch, mesh)
@@ -57,22 +53,53 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, metrics
 
+    def one_step(params, opt_state, arrays, key, step_f):
+        del step_f  # the DNeRF objective has no step-dependent annealing
+        k_batch, k_loss = jax.random.split(key)
+        batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
+                                   mask_guided=mask_guided)
+        return compute_step(params, opt_state, batch, k_loss)
+
     if steps_per_call == 1:
         return jax.jit(one_step, donate_argnums=(0, 1))
 
-    # K steps per dispatch (see trainer_endosurf.make_train_step docstring).
+    # K steps per dispatch (see trainer_endosurf.make_train_step docstring;
+    # presample hoists the window's batch gathers as there, bit-identical).
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_window(params, opt_state, arrays, key, step_f):
-        def body(carry, i):
-            params, opt_state, key = carry
-            key, k = jax.random.split(key)
-            params, opt_state, metrics = one_step(
-                params, opt_state, arrays, k, step_f + i)
-            return (params, opt_state, key), metrics
+        if presample:
+            def key_chain(key, _):
+                key, k = jax.random.split(key)
+                return key, k
+            _, ks = jax.lax.scan(key_chain, key, None,
+                                 length=steps_per_call)
+            k_batch = jax.vmap(lambda k: jax.random.split(k)[0])(ks)
+            k_loss = jax.vmap(lambda k: jax.random.split(k)[1])(ks)
+            batches = jax.vmap(
+                lambda k: sample_train_batch(arrays, h, w, k, ray_batch,
+                                             mask_guided=mask_guided))(
+                k_batch)
 
-        (params, opt_state, _), metrics = jax.lax.scan(
-            body, (params, opt_state, key),
-            jnp.arange(steps_per_call, dtype=jnp.float32))
+            def body(carry, x):
+                params, opt_state = carry
+                batch, k_l = x
+                params, opt_state, metrics = compute_step(
+                    params, opt_state, batch, k_l)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), (batches, k_loss))
+        else:
+            def body(carry, i):
+                params, opt_state, key = carry
+                key, k = jax.random.split(key)
+                params, opt_state, metrics = one_step(
+                    params, opt_state, arrays, k, step_f + i)
+                return (params, opt_state, key), metrics
+
+            (params, opt_state, _), metrics = jax.lax.scan(
+                body, (params, opt_state, key),
+                jnp.arange(steps_per_call, dtype=jnp.float32))
         last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
         return params, opt_state, last
 
@@ -149,7 +176,8 @@ class EndoNeRFTrainer(Trainer):
                 self.train_cfg.get("ray_batch", 2048), self.loss_weights,
                 mask_guided=self.train_cfg.get("mask_guided_ray_sampling",
                                                True),
-                mesh=self.mesh, steps_per_call=steps_per_call)
+                mesh=self.mesh, steps_per_call=steps_per_call,
+                presample=self.train_cfg.get("presample_batches", True))
         return self._step_fns[steps_per_call]
 
     def opt_state_template(self):

@@ -45,7 +45,7 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
                     surf_neig_rad: float, mask_guided: bool = True,
                     use_importance: bool = True, remat: bool = True,
                     mesh=None, steps_per_call: int = 1,
-                    fold_aux: bool = True):
+                    fold_aux: bool = True, presample: bool = True):
     """Build the jitted training step.
 
     Terms with zero weight are compiled out entirely (the reference computes
@@ -137,10 +137,7 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
             loss_weights)
         return total, metrics
 
-    def one_step(params, opt_state, arrays, key, step_f):
-        k_batch, k_loss = jax.random.split(key)
-        batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
-                                   mask_guided=mask_guided)
+    def compute_step(params, opt_state, batch, k_loss, step_f):
         if mesh is not None:
             from endosurf_tpu.parallel.mesh import shard_ray_batch
             batch = shard_ray_batch(batch, mesh)
@@ -150,21 +147,59 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    def one_step(params, opt_state, arrays, key, step_f):
+        k_batch, k_loss = jax.random.split(key)
+        batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
+                                   mask_guided=mask_guided)
+        return compute_step(params, opt_state, batch, k_loss, step_f)
+
     if steps_per_call == 1:
         return jax.jit(one_step, donate_argnums=(0, 1))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_window(params, opt_state, arrays, key, step_f):
-        def body(carry, i):
-            params, opt_state, key = carry
-            key, k = jax.random.split(key)
-            params, opt_state, metrics = one_step(
-                params, opt_state, arrays, k, step_f + i)
-            return (params, opt_state, key), metrics
+        if presample:
+            # Pre-sample the whole window's ray batches in ONE vmapped
+            # gather phase before the scan. The mask-guided inverse-CDF
+            # search is a chain of ~log2(H*W) dependent gather rounds that
+            # is latency-bound at one batch's 1024 indices, so K batches
+            # cost barely more than one. The key chain reproduces the
+            # scan's splits exactly -> bit-identical batches and steps
+            # (tests/test_train_smoke.py::test_presample_window_parity).
+            def key_chain(key, _):
+                key, k = jax.random.split(key)
+                return key, k
+            _, ks = jax.lax.scan(key_chain, key, None,
+                                 length=steps_per_call)
+            k_batch = jax.vmap(lambda k: jax.random.split(k)[0])(ks)
+            k_loss = jax.vmap(lambda k: jax.random.split(k)[1])(ks)
+            batches = jax.vmap(
+                lambda k: sample_train_batch(arrays, h, w, k, ray_batch,
+                                             mask_guided=mask_guided))(
+                k_batch)
 
-        (params, opt_state, _), metrics = jax.lax.scan(
-            body, (params, opt_state, key),
-            jnp.arange(steps_per_call, dtype=jnp.float32))
+            def body(carry, x):
+                params, opt_state = carry
+                batch, k_l, i = x
+                params, opt_state, metrics = compute_step(
+                    params, opt_state, batch, k_l, step_f + i)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state),
+                (batches, k_loss,
+                 jnp.arange(steps_per_call, dtype=jnp.float32)))
+        else:
+            def body(carry, i):
+                params, opt_state, key = carry
+                key, k = jax.random.split(key)
+                params, opt_state, metrics = one_step(
+                    params, opt_state, arrays, k, step_f + i)
+                return (params, opt_state, key), metrics
+
+            (params, opt_state, _), metrics = jax.lax.scan(
+                body, (params, opt_state, key),
+                jnp.arange(steps_per_call, dtype=jnp.float32))
         last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
         return params, opt_state, last
 
@@ -281,7 +316,8 @@ class EndoSurfTrainer(Trainer):
                                                True),
                 use_importance=use_importance, remat=self.remat,
                 mesh=self.mesh, steps_per_call=steps_per_call,
-                fold_aux=self.train_cfg.get("fold_aux_queries", True))
+                fold_aux=self.train_cfg.get("fold_aux_queries", True),
+                presample=self.train_cfg.get("presample_batches", True))
         return self._step_fns[cache_key]
 
     def opt_state_template(self):

@@ -222,18 +222,21 @@ def test_endonerf_steps_per_call_matches_sequential(tmp_path_factory):
         key, k = jax.random.split(key)
         p1, o1, m1 = fn1(p1, o1, arrays, k, jnp.asarray(float(1 + i)))
 
-    fnK = make_train_step(*args, steps_per_call=K)
-    pK, oK = init()
-    pK, oK, mK = fnK(pK, oK, arrays, jax.random.PRNGKey(7),
-                     jnp.asarray(1.0))
+    # Both window paths (presampled batch gathers and in-scan sampling)
+    # must reproduce the K sequential K=1 steps.
+    for pre in (True, False):
+        fnK = make_train_step(*args, steps_per_call=K, presample=pre)
+        pK, oK = init()
+        pK, oK, mK = fnK(pK, oK, arrays, jax.random.PRNGKey(7),
+                         jnp.asarray(1.0))
 
-    for a, b in zip(jax.tree_util.tree_leaves(p1),
-                    jax.tree_util.tree_leaves(pK)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(float(np.asarray(m1["loss_total"])),
-                               float(np.asarray(mK["loss_total"])),
-                               rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(pK)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(float(np.asarray(m1["loss_total"])),
+                                   float(np.asarray(mK["loss_total"])),
+                                   rtol=1e-6)
 
 
 if __name__ == "__main__":

@@ -411,3 +411,46 @@ def test_fold_aux_queries_matches_unfolded(scene):
         for k, va in res[False][i].items():
             vb = res[True][i][k]
             assert abs(va - vb) <= 2e-5 + 1e-4 * abs(va), (i, k, va, vb)
+
+
+def test_presample_window_parity(scene):
+    """presample hoists the window's K batch samples into one vmapped
+    gather phase before the scan. The key chain reproduces the scan's
+    splits exactly, so params after a window must be BIT-identical to the
+    in-scan sampling path."""
+    import jax.numpy as jnp
+    import optax
+
+    from endosurf_tpu.models.endosurf import RenderSpec
+    from endosurf_tpu.models.fields import (EndoSurfSpec, MLPSpec,
+                                            init_endosurf_params)
+    from endosurf_tpu.train.schedules import warmup_cosine
+    from endosurf_tpu.train.trainer_endosurf import make_train_step
+
+    spec = EndoSurfSpec(
+        deform_pos_freqs=2, deform_time_freqs=2, sdf_pos_freqs=2,
+        color_pos_freqs=2, color_dir_freqs=2,
+        deform=MLPSpec(2, 32, (), 3), sdf=MLPSpec(2, 32, (), 17),
+        color=MLPSpec(2, 32, (), 3), color_feat_dim=16)
+    rspec = RenderSpec(n_samples=4, n_importance=4, up_sample_steps=2,
+                       anneal_end=10.0)
+    tx = optax.adam(warmup_cosine(5e-4, 5, 100, 0.05))
+    lw = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0,
+          "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
+          "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1}
+    params0 = init_endosurf_params(jax.random.PRNGKey(0), spec)
+
+    got = {}
+    for pre in (False, True):
+        step_fn = make_train_step(
+            spec, rspec, tx, scene.h, scene.w, 32, lw, surf_neig_rad=0.1,
+            remat=False, steps_per_call=4, presample=pre)
+        p = jax.tree_util.tree_map(jnp.array, params0)
+        o = tx.init(p)
+        p, o, m = step_fn(p, o, scene.device_arrays, jax.random.PRNGKey(7),
+                          jnp.asarray(1.0))
+        got[pre] = (p, float(np.asarray(m["loss_total"])))
+    assert got[False][1] == got[True][1]
+    for a, b in zip(jax.tree_util.tree_leaves(got[False][0]),
+                    jax.tree_util.tree_leaves(got[True][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
