@@ -57,10 +57,16 @@ def main():
             spec, rspec, tx, scene.h, scene.w, ray_batch, loss_weights,
             surf_neig_rad=0.1, remat=False, fold_aux=fold)
 
+    def fresh(tree):
+        """Deep device copy: the step fns donate params/opt_state buffers,
+        so every (re)use must start from new arrays."""
+        return jax.tree_util.tree_map(lambda x: jnp.array(x), tree)
+
     # Loss parity from identical init (printed-digit, 3 steps each).
     losses = {}
     for fold in (False, True):
-        params, opt_state = params0, tx.init(params0)
+        params = fresh(params0)
+        opt_state = tx.init(params)
         key = jax.random.PRNGKey(1)
         ls = []
         for i in range(3):
@@ -80,7 +86,8 @@ def main():
     rates = {False: [], True: []}
     state = {}
     for fold in (False, True):
-        state[fold] = (params0, tx.init(params0), jax.random.PRNGKey(2))
+        p = fresh(params0)
+        state[fold] = (p, tx.init(p), jax.random.PRNGKey(2))
     for w in range(n_windows):
         for fold in (False, True):
             params, opt_state, key = state[fold]

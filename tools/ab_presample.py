@@ -99,7 +99,9 @@ def main():
              en_params, en_tx, 2048)):
         res = {}
         for pre in (False, True):
-            rates, loss = measure(build(pre), p0, txx.init(p0), arrays,
+            # Deep device copy per run: the step fns donate params/opt_state.
+            p = jax.tree_util.tree_map(lambda x: jnp.array(x), p0)
+            rates, loss = measure(build(pre), p, txx.init(p), arrays,
                                   jax.random.PRNGKey(1), K, rb)
             res[pre] = (float(np.median(rates)), rates, loss)
             print(json.dumps({
