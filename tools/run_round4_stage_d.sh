@@ -1,11 +1,16 @@
 #!/bin/bash
 # Round-4 stage D: measurement pass after stage C frees the TPU lane.
-#  1. EndoSurf serving render-kernel BLOCK_R sweep — the shipping 256 was
-#     chosen under the round-3 setter-staleness bug (ADVICE r3 high); the
-#     DNeRF render kernel's win at 2048 says large blocks may transfer.
-#     One subprocess per setting via the env var (no setter staleness).
-#  2. Fresh step attribution at shipping defaults (fold_aux+presample in).
-#  3. Scoreboard refresh -> logs/r4_bench2.json.
+#  1. EndoSurf serving render-kernel BLOCK_R sweep (1024, 2048; the 256
+#     datapoint is bench1's 184k) — the shipping 256 was chosen under the
+#     round-3 setter-staleness bug (ADVICE r3 high); the DNeRF render
+#     kernel's win at 2048 says large blocks may transfer. One subprocess
+#     per setting via the env var (no setter staleness).
+#  2. chunks_per_call=4 (serving dispatch amortization, the steps_per_call
+#     analog) at block 1024.
+#  3. Fresh step attribution at shipping defaults (fold_aux+presample in).
+#  4. Scoreboard refresh -> logs/r4_bench2.json.
+# Units are kept few: every process exit risks a 10-45 min tunnel wedge
+# (CLAUDE.md round-2 data).
 set -u
 cd /root/repo
 mkdir -p logs/r4_results
@@ -36,8 +41,8 @@ for i in $(seq 1 144); do
 done
 [ -f logs/r4_results/stage_c_done.marker ] || abort "stage C never finished"
 
-# Unit 1: ES serving block sweep (one subprocess per block).
-for B in 256 512 1024 2048; do
+# Unit 1: ES serving block sweep (block 256 baseline = bench1's 184k).
+for B in 1024 2048; do
   if [ ! -f "logs/r4_results/es_render_blk_${B}.done" ]; then
     wait_tunnel || abort "wedged before es render blk ${B}"
     echo "=== unit es_render_blk_${B} $(date) ===" >> "$LOG"
@@ -48,18 +53,19 @@ for B in 256 512 1024 2048; do
       && touch "logs/r4_results/es_render_blk_${B}.done"
   fi
 done
-# Larger chunk at the largest block (grid amortization at frame scale).
-if [ ! -f logs/r4_results/es_render_blk_2048c4096.done ]; then
-  wait_tunnel || abort "wedged before es render blk 2048/c4096"
-  echo "=== unit es_render_blk_2048c4096 $(date) ===" >> "$LOG"
-  ESN_RENDER_BLOCK_R=2048 timeout 5400 python tools/bench_eval.py \
-    --model endosurf --render-kernel auto --chunks 4096 \
-    --chunks-per-call 1 --frames 2 \
-    > logs/r4_es_render_blk_2048c4096.log 2>&1 \
-    && touch logs/r4_results/es_render_blk_2048c4096.done
+
+# Unit 2: serving dispatch amortization (chunks_per_call=4, block 1024).
+if [ ! -f logs/r4_results/es_render_cpc4.done ]; then
+  wait_tunnel || abort "wedged before es cpc4"
+  echo "=== unit es_render_cpc4 $(date) ===" >> "$LOG"
+  ESN_RENDER_BLOCK_R=1024 timeout 5400 python tools/bench_eval.py \
+    --model endosurf --render-kernel auto --chunks 2048 \
+    --chunks-per-call 4 --frames 2 \
+    > logs/r4_es_render_cpc4.log 2>&1 \
+    && touch logs/r4_results/es_render_cpc4.done
 fi
 
-# Unit 2: fresh step attribution at shipping defaults.
+# Unit 3: fresh step attribution at shipping defaults.
 if [ ! -f logs/r4_results/profile_step.done ]; then
   wait_tunnel || abort "wedged before profile_step"
   echo "=== unit profile_step $(date) ===" >> "$LOG"
@@ -69,7 +75,7 @@ if [ ! -f logs/r4_results/profile_step.done ]; then
     && touch logs/r4_results/profile_step.done
 fi
 
-# Unit 3: scoreboard refresh.
+# Unit 4: scoreboard refresh.
 if [ ! -f logs/r4_results/bench2.done ]; then
   wait_tunnel || abort "wedged before bench2"
   echo "=== unit bench2 $(date) ===" >> "$LOG"
