@@ -43,5 +43,15 @@ if [ ! -f logs/r4_results/ab_sampler_block.done ]; then
     && touch logs/r4_results/ab_sampler_block.done
 fi
 
+# Unit 2: steps_per_call K=1 vs K=5 per-step-rate A/B (host-dispatch
+# overhead on the 1-core box; K=5 is bit-identical by construction).
+if [ ! -f logs/r4_results/ab_steps_per_call.done ]; then
+  wait_tunnel || abort "wedged before ab_steps_per_call"
+  echo "=== unit ab_steps_per_call $(date) ===" >> "$LOG"
+  timeout 7200 python tools/ab_steps_per_call.py \
+    > logs/r4_ab_steps_per_call.log 2>&1 \
+    && touch logs/r4_results/ab_steps_per_call.done
+fi
+
 echo "=== round-4 stage F finished $(date) ===" >> "$LOG"
 touch logs/r4_results/stage_f_done.marker
