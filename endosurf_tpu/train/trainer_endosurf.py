@@ -45,7 +45,7 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
                     surf_neig_rad: float, mask_guided: bool = True,
                     use_importance: bool = True, remat: bool = True,
                     mesh=None, steps_per_call: int = 1,
-                    fold_aux: bool = True, presample: bool = True):
+                    fold_aux: bool = False, presample: bool = True):
     """Build the jitted training step.
 
     Terms with zero weight are compiled out entirely (the reference computes
@@ -78,7 +78,12 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
         +- neighbour points — are APPENDED to render_core's sample points
         and ride the same fused evaluation (one megakernel dispatch, ~4.7%
         more points) instead of running as separate small XLA fwd+bwd
-        programs. The math is identical; only program structure changes."""
+        programs. The math is equivalent (not bit-identical: the folded
+        queries ride the megakernel's precision path). Default OFF: the
+        round-4 one-process step A/B measured folding 1.8% SLOWER
+        (44.6k vs 45.4k rays/s, results/r4/r4_ab_fold_aux.log) — the
+        separate aux programs overlap with the step while folding grows
+        the megakernel's critical path."""
         k_z, k_neig = jax.random.split(key)
         rays = batch["rays"]
         n_rays = rays.shape[0]
@@ -164,7 +169,8 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
             # search is a chain of ~log2(H*W) dependent gather rounds that
             # is latency-bound at one batch's 1024 indices, so K batches
             # cost barely more than one. The key chain reproduces the
-            # scan's splits exactly -> bit-identical batches and steps
+            # scan's splits exactly -> identical sampled batches; the step
+            # outputs match to last-ulp program-reassociation noise
             # (tests/test_train_smoke.py::test_presample_window_parity).
             def key_chain(key, _):
                 key, k = jax.random.split(key)
@@ -316,7 +322,7 @@ class EndoSurfTrainer(Trainer):
                                                True),
                 use_importance=use_importance, remat=self.remat,
                 mesh=self.mesh, steps_per_call=steps_per_call,
-                fold_aux=self.train_cfg.get("fold_aux_queries", True),
+                fold_aux=self.train_cfg.get("fold_aux_queries", False),
                 presample=self.train_cfg.get("presample_batches", True))
         return self._step_fns[cache_key]
 

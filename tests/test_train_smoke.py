@@ -416,8 +416,10 @@ def test_fold_aux_queries_matches_unfolded(scene):
 def test_presample_window_parity(scene):
     """presample hoists the window's K batch samples into one vmapped
     gather phase before the scan. The key chain reproduces the scan's
-    splits exactly, so params after a window must be BIT-identical to the
-    in-scan sampling path."""
+    splits exactly, so the SAMPLED RAYS are identical — but the two step
+    programs are distinct XLA compilations, so fusion/reassociation may
+    differ in the last ulp (observed: 1/640 params off by 4e-9 under CPU
+    suite load). Assert tight allclose, not bit-equality."""
     import jax.numpy as jnp
     import optax
 
@@ -450,7 +452,8 @@ def test_presample_window_parity(scene):
         p, o, m = step_fn(p, o, scene.device_arrays, jax.random.PRNGKey(7),
                           jnp.asarray(1.0))
         got[pre] = (p, float(np.asarray(m["loss_total"])))
-    assert got[False][1] == got[True][1]
+    np.testing.assert_allclose(got[False][1], got[True][1], rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(got[False][0]),
                     jax.tree_util.tree_leaves(got[True][0])):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-6, atol=1e-8)

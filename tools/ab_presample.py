@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """One-process step-level A/B for train.presample_batches: hoisting the
 K-step scan window's batch gathers into one vmapped pre-sample phase
-(bit-identical steps — tests/test_train_smoke.py::test_presample_window_
-parity). Measured at the long-run dispatch config (steps_per_call=5,
+(identical sampled rays; steps match to last-ulp program noise —
+tests/test_train_smoke.py::test_presample_window_parity).
+Measured at the long-run dispatch config (steps_per_call=5,
 shipping precision modes) for BOTH verticals.
 """
 import argparse
