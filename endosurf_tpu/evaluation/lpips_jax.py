@@ -16,6 +16,7 @@ lpips=None, as cal_lpips does).
 from __future__ import annotations
 
 import functools
+import os
 import os.path as osp
 from typing import Callable, Optional
 
@@ -113,13 +114,15 @@ def _normalize(feat, eps=1e-10):
 def lpips_fn(path: Optional[str] = None) -> Optional[Callable]:
     """Return a jitted lpips(a, b) over [B,H,W,3] images in [0,1], or None.
 
-    `path` defaults to the module-level WEIGHTS_PATH (resolved at call
-    time). Returns None only when the weights file is absent (the
-    zero-egress gap); a PRESENT file that fails schema validation raises,
-    so a bad conversion can't silently disable the metric.
+    `path` defaults to `$ESN_LPIPS_WEIGHTS` if set, else the module-level
+    WEIGHTS_PATH (both resolved at call time, so converted weights can be
+    dropped in anywhere without touching the package tree). Returns None
+    only when the weights file is absent (the zero-egress gap); a PRESENT
+    file that fails schema validation raises, so a bad conversion can't
+    silently disable the metric.
     """
     if path is None:
-        path = WEIGHTS_PATH
+        path = os.environ.get("ESN_LPIPS_WEIGHTS") or WEIGHTS_PATH
     if not osp.exists(path):
         return None
     raw = dict(np.load(path))

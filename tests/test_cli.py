@@ -13,9 +13,10 @@ from endosurf_tpu.data.scene_data import make_synthetic_scene
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
-def cli(args, cwd):
+def cli(args, cwd, env_extra=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    env.update(env_extra or {})
     return subprocess.run(
         [sys.executable, "-m", "endosurf_tpu", *args, "--platform", "cpu"],
         cwd=cwd, env=env, capture_output=True, text=True, timeout=900)
@@ -85,6 +86,30 @@ def test_cli_test_mode(workdir):
     assert stats, "test_2d must write stats_out.txt"
     content = stats[0].read_text()
     assert "psnr_rgb_vr" in content
+
+
+def test_cli_lpips_e2e_with_weights(workdir, tmp_path):
+    """With a weights file present (the tiny synthetic-schema npz from
+    test_metrics — real converted weights are just a bigger instance of
+    the same schema), LPIPS flows end-to-end: the CLI eval writes
+    lpips_rgb_vr into stats_out.txt. Proves the one environment-blocked
+    metric needs strictly a weights file (pointed at via
+    $ESN_LPIPS_WEIGHTS), no code changes. Reference consumer:
+    src/trainer/trainer_endosurf.py:267,356."""
+    import numpy as np
+    from test_metrics import _tiny_vgg_npz
+
+    d, cfg_path = workdir
+    wpath = str(tmp_path / "lpips_tiny.npz")
+    _tiny_vgg_npz(np.random.default_rng(0), wpath)
+    r = cli(["--cfg", cfg_path, "--mode", "test_2d"], cwd=str(d),
+            env_extra={"ESN_LPIPS_WEIGHTS": wpath})
+    assert r.returncode == 0, r.stderr[-3000:]
+    exp = d / "logs" / "cli" / "t-synthetic-pulsating_sphere"
+    stats = list((exp / "demo").rglob("stats_out.txt"))
+    assert stats
+    content = stats[0].read_text()
+    assert "lpips_rgb_vr" in content, content
 
 
 if __name__ == "__main__":
