@@ -31,7 +31,7 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
                     tx: optax.GradientTransformation, h: int, w: int,
                     ray_batch: int, loss_weights: Dict[str, float],
                     mask_guided: bool = True, mesh=None,
-                    steps_per_call: int = 1, presample: bool = True):
+                    steps_per_call: int = 1, presample: bool = False):
     def loss_fn(params, batch, key):
         rays = batch["rays"]
         if rspec.use_depth_sampling:
@@ -64,7 +64,11 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
         return jax.jit(one_step, donate_argnums=(0, 1))
 
     # K steps per dispatch (see trainer_endosurf.make_train_step docstring;
-    # presample hoists the window's batch gathers as there, bit-identical).
+    # presample hoists the window's batch gathers as there, sampling
+    # identical rays). Default OFF here: the round-4 one-process A/B
+    # measured the hoisted gather phase a 4% step regression on EndoNeRF
+    # (results/r4/r4_ab_presample.log) — its cheap first-order step does
+    # not hide the extra HBM traffic the way EndoSurf's does.
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_window(params, opt_state, arrays, key, step_f):
         if presample:
@@ -177,7 +181,7 @@ class EndoNeRFTrainer(Trainer):
                 mask_guided=self.train_cfg.get("mask_guided_ray_sampling",
                                                True),
                 mesh=self.mesh, steps_per_call=steps_per_call,
-                presample=self.train_cfg.get("presample_batches", True))
+                presample=self.train_cfg.get("presample_batches", False))
         return self._step_fns[steps_per_call]
 
     def opt_state_template(self):
