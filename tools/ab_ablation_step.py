@@ -8,7 +8,8 @@ compiling the term out" claim (VERDICT r3 item 1). This tool builds the
 baseline step plus all four single-term-zeroed steps in ONE process and
 times them in interleaved windows (round-robin, so tunnel drift hits every
 mode equally), at shipping defaults (bf16 matmuls/interior, linearize
-Jacobian, fold_aux+presample on, remat off).
+Jacobian, make_train_step's shipping fold_aux/presample defaults, remat
+off).
 
 Reference loss wiring: /root/reference/src/trainer/trainer_endosurf.py
 (loss assembly; the reference keeps computing zero-weighted terms — ours
