@@ -110,21 +110,28 @@ def _normalize(feat, eps=1e-10):
     return feat / (norm + eps)
 
 
-@functools.lru_cache(maxsize=2)
 def lpips_fn(path: Optional[str] = None) -> Optional[Callable]:
     """Return a jitted lpips(a, b) over [B,H,W,3] images in [0,1], or None.
 
     `path` defaults to `$ESN_LPIPS_WEIGHTS` if set, else the module-level
-    WEIGHTS_PATH (both resolved at call time, so converted weights can be
-    dropped in anywhere without touching the package tree). Returns None
-    only when the weights file is absent (the zero-egress gap); a PRESENT
-    file that fails schema validation raises, so a bad conversion can't
-    silently disable the metric.
+    WEIGHTS_PATH (both genuinely resolved at EVERY call: the build cache
+    below is keyed on the concrete resolved path, and a file-absent None is
+    never cached — so setting the env var or dropping the file in after an
+    early call still enables the metric for later calls in the same
+    process). Returns None only when the weights file is absent (the
+    zero-egress gap); a PRESENT file that fails schema validation raises,
+    so a bad conversion can't silently disable the metric.
     """
     if path is None:
         path = os.environ.get("ESN_LPIPS_WEIGHTS") or WEIGHTS_PATH
     if not osp.exists(path):
         return None
+    return _build_lpips(path)
+
+
+@functools.lru_cache(maxsize=2)
+def _build_lpips(path: str) -> Callable:
+    """Load + validate + jit-wrap the weights at `path` (cached per path)."""
     raw = dict(np.load(path))
     validate_weights(raw)
     weights = {k: jnp.asarray(v) for k, v in raw.items()}
@@ -146,3 +153,8 @@ def lpips_fn(path: Optional[str] = None) -> Optional[Callable]:
         return total
 
     return fn
+
+
+# Back-compat for callers of the formerly lru_cache'd lpips_fn: clearing
+# through lpips_fn.cache_clear still empties the (path-keyed) build cache.
+lpips_fn.cache_clear = _build_lpips.cache_clear

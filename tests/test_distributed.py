@@ -131,8 +131,11 @@ def _communicate_all(procs, timeout):
         try:
             outs.append(p.communicate(timeout=timeout)[0])
         except subprocess.TimeoutExpired:
-            partial = []
-            for q in procs:
+            # Workers whose communicate() already succeeded have their
+            # output in `outs`; a second communicate() on them raises and
+            # would mask it as "<no output>". Only kill+drain the rest.
+            partial = list(outs)
+            for q in procs[len(outs):]:
                 q.kill()
                 try:
                     partial.append(q.communicate(timeout=30)[0])

@@ -57,6 +57,7 @@ def main():
         rates["endosurf_train"] = rec.get("value")
         rates["endonerf_train"] = rec.get("endonerf_rays_per_sec")
         rates["endosurf_serving"] = rec.get("eval_rays_per_sec")
+        rates["endonerf_serving"] = rec.get("endonerf_eval_rays_per_sec")
     for k, v in (("endosurf_train", args.es_train_rps),
                  ("endonerf_train", args.en_train_rps),
                  ("endosurf_serving", args.es_serving_rps),
