@@ -74,9 +74,19 @@ def unit_sphere_normalization(all_points: np.ndarray,
     scale_mat[:3, 3] = center
 
     pad_norm = np.asarray(pad_mm, np.float64) / radius
-    norm_bboxes = (bboxes - center[None, :, None]) / radius
+    raw = (bboxes - center[None, :, None]) / radius
+    norm_bboxes = raw.copy()
     norm_bboxes[:, :, 0] -= pad_norm
     norm_bboxes[:, :, 1] += pad_norm
+    # The reference pads x/y NEGATIVELY (preprocess.py:21, pad=[-5,-5,10]mm
+    # — a deliberate shrink that trims stereo boundary noise). On a real
+    # capture the per-frame bbox is far wider than 10mm so this never
+    # degenerates, but on a tiny scene the shrink can invert min>max, which
+    # poisons every downstream grid (marching tetrahedra gets descending
+    # axes). Guard: any axis the pad inverted falls back to its unpadded
+    # bounds — identical to the reference on all non-degenerate data.
+    inverted = norm_bboxes[:, :, 0] > norm_bboxes[:, :, 1]
+    norm_bboxes[inverted] = raw[inverted]
     return scale_mat, float(radius), norm_bboxes.astype(np.float32)
 
 
