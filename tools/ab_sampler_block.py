@@ -20,6 +20,7 @@ Prints one JSON line per block plus a cross-block loss-parity record
 all swept blocks).
 """
 import json
+import os
 import os.path as osp
 import sys
 import time
@@ -28,7 +29,10 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 
-BLOCKS = (256, 512, 1024)
+# Override the swept blocks, e.g. ESN_AB_BLOCKS=256,512 (retry lane for
+# blocks whose first attempt died on transient tunnel compile errors).
+BLOCKS = tuple(int(b) for b in
+               os.environ.get("ESN_AB_BLOCKS", "256,512,1024").split(","))
 
 
 def main():

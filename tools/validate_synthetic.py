@@ -77,6 +77,13 @@ def main():
     # Deform-capacity sweep knobs (EndoSurf only): vary the deform net
     # against the reference architecture (9x256, 6 time octaves, shared LR
     # — endosurf.py:692-738 / base_pull.yml net.deform_network).
+    ap.add_argument("--depth-noise-mm", type=float, default=0.0,
+                    help="Gaussian noise sigma (mm) added to the TRAINING "
+                         "depth supervision only (fixed seed, valid pixels); "
+                         "eval/demo metrics stay against the clean scene. "
+                         "Models realistic stereo-matching error — the "
+                         "regime the paper motivates the sdf-on-depth loss "
+                         "for (reference endosurf.py:289-317).")
     ap.add_argument("--deform-width", type=int, default=None)
     ap.add_argument("--deform-layers", type=int, default=None)
     ap.add_argument("--time-octaves", type=int, default=None)
@@ -91,6 +98,23 @@ def main():
                                h=args.size[0], w=args.size[1],
                                orbit_deg=args.orbit)
     scene = SceneData.load(pkl)
+
+    train_scene = scene
+    if args.depth_noise_mm > 0.0:
+        # Perturb ONLY the training supervision: same-seed Gaussian noise on
+        # valid depth pixels, sigma in mm converted to normalized units.
+        # Eval/demo below run against the untouched clean scene.
+        import dataclasses
+
+        import jax.numpy as jnp
+        d = np.asarray(scene.device_arrays["depths"])
+        rng = np.random.default_rng(12345)
+        sigma = args.depth_noise_mm / scene.depth_scale
+        noisy = np.where(d > 0, d + rng.normal(0, sigma, d.shape), d)
+        train_scene = dataclasses.replace(
+            scene, device_arrays={**scene.device_arrays,
+                                  "depths": jnp.asarray(
+                                      noisy.astype(np.float32))})
 
     steps = args.steps
     if args.model == "endosurf":
@@ -150,7 +174,8 @@ def main():
             dn["enc_time_cfg"] = {"multires": args.time_octaves}
         if args.deform_lr_mult:
             cfg["train"]["optim"]["deform_lr_mult"] = args.deform_lr_mult
-        trainer = EndoSurfTrainer(cfg, mode="train", scene=scene)
+        trainer = EndoSurfTrainer(cfg, mode="train", scene=train_scene)
+        trainer_cls = EndoSurfTrainer
     else:
         from endosurf_tpu.train.trainer_endonerf import EndoNeRFTrainer
         cfg = {
@@ -176,7 +201,8 @@ def main():
                      "marching_cubes_thresh": 5, "depth_filter": "None",
                      "marching_cubes_filter": 30},
         }
-        trainer = EndoNeRFTrainer(cfg, mode="train", scene=scene)
+        trainer = EndoNeRFTrainer(cfg, mode="train", scene=train_scene)
+        trainer_cls = EndoNeRFTrainer
 
     step0 = trainer.step_start
     if step0 <= steps:
@@ -198,6 +224,10 @@ def main():
         train_s = 0.0
         done_steps = 0
 
+    if args.depth_noise_mm > 0.0:
+        # Metrics against the CLEAN scene: fresh trainer in test mode (loads
+        # the checkpoint the noisy-supervision training just saved).
+        trainer = trainer_cls(cfg, mode="test", scene=scene)
     eval_stats = trainer.eval(steps)
     demo_stats = trainer.demo(steps, test_mode=True, visualize=False,
                               demo_2d=False, demo_3d=True)
@@ -218,6 +248,8 @@ def main():
               "deform_lr_mult", "ablation"):
         if getattr(args, k) is not None:
             out[k] = getattr(args, k)
+    if args.depth_noise_mm > 0.0:
+        out["depth_noise_mm"] = args.depth_noise_mm
     if done_steps:
         out["rays_per_sec"] = round(
             done_steps * cfg["train"]["ray_batch"] / train_s, 1)
