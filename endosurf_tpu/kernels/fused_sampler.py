@@ -354,7 +354,7 @@ def _bitonic_merge_128(z, misc):
 def _upsample_round(spec, n_deform, compute_dtype, consts, layers,
                     misc, o3, d3, a, b, c,
                     z, sdf, s_cur: int, k_new: int, inv_s: float,
-                    last: bool):
+                    need_new_sdf: bool):
     iota = misc[0:1, :]
     valid_pair = iota < float(s_cur - 1)
 
@@ -405,7 +405,7 @@ def _upsample_round(spec, n_deform, compute_dtype, consts, layers,
         tt = (u - cdf_b) / denom
         new_z_cols.append(z_b + tt * (z_a - z_b))
 
-    if not last:
+    if need_new_sdf:
         new_sdf_cols = _eval_lanes(spec, n_deform, compute_dtype, consts,
                                    layers, o3, d3, new_z_cols)
     else:
@@ -415,7 +415,7 @@ def _upsample_round(spec, n_deform, compute_dtype, consts, layers,
     # the 64-lane merge window (always BIG there since s_cur <= 56).
     lanes = [63 - j for j in range(k_new)]
     z = _cols_to_lanes(new_z_cols, lanes, iota, z)
-    if not last:
+    if need_new_sdf:
         sdf = _cols_to_lanes(new_sdf_cols, lanes, iota, sdf)
         z, sdf = _bitonic_merge_64(z, sdf, misc)
     else:
@@ -425,14 +425,16 @@ def _upsample_round(spec, n_deform, compute_dtype, consts, layers,
 
 def _upsample_kernel(spec, rspec_tuple, n_deform, compute_dtype,
                      o3_ref, d3_ref, rc_ref, z0_ref, *refs):
-    n0, k_new, n_rounds = rspec_tuple
-    out_ref = refs[-1]
+    n0, k_new, n_rounds, emit_sdf = rspec_tuple
+    n_out = 2 if emit_sdf else 1
+    out_ref = refs[-n_out]
     consts = tuple(r[...] for r in refs[:4])
     n_mat = 1
-    flat = refs[4:-(1 + n_mat)]
+    flat = refs[4:-(n_out + n_mat)]
     layers = [(flat[2 * i][...], flat[2 * i + 1][...])
               for i in range(len(flat) // 2)]
-    misc = _unpack_matrices([r[...] for r in refs[-(1 + n_mat):-1]])
+    misc = _unpack_matrices(
+        [r[...] for r in refs[-(n_out + n_mat):-n_out]])
     iota = misc[0:1, :]
 
     o3 = o3_ref[...]
@@ -466,12 +468,18 @@ def _upsample_kernel(spec, rspec_tuple, n_deform, compute_dtype,
         sdf = _cols_to_lanes(sdf_cols, lanes, iota, sdf)
 
     for i in range(n_rounds):
+        # The last round's new samples need their SDF only when the caller
+        # wants the per-sample SDF emitted (the march-reuse consumer);
+        # otherwise skip that eval exactly as before.
+        need_new_sdf = (i + 1 < n_rounds) or emit_sdf
         z, sdf = _upsample_round(
             spec, n_deform, compute_dtype, consts, layers,
             misc, o3, d3, a, b, c,
             z, sdf, n0 + i * k_new, k_new, 64.0 * 2 ** i,
-            last=(i + 1 == n_rounds))
+            need_new_sdf=need_new_sdf)
     out_ref[...] = z
+    if emit_sdf:
+        refs[-1][...] = sdf
 
 
 def _ray_buffers(rays_o, rays_d_z, t):
@@ -509,12 +517,17 @@ def fused_upsample_z(spec: EndoSurfSpec, params: Dict[str, Any],
                      t: jnp.ndarray, z_vals: jnp.ndarray,
                      n_importance: int, n_rounds: int,
                      compute_dtype=jnp.float32,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     return_sdf: bool = False) -> jnp.ndarray:
     """Whole-loop replacement for models/endosurf.py::upsample_z.
 
     Args:
       rays_o / rays_d_z: [R, 3]; t: [R, 1]; z_vals: [R, n0] stratified
-        (ascending). Returns z [R, n0 + n_importance] sorted ascending.
+        (ascending). Returns z [R, n0 + n_importance] sorted ascending;
+        with ``return_sdf`` a (z, sdf) pair — the kernel already tracks the
+        per-sample SDF lane-aligned through its bitonic merges, so emitting
+        it costs only the last round's k_new-column eval (the march-reuse
+        consumer: surface localization on already-paid-for samples).
 
     Non-jit wrapper: reads BLOCK_R at call time and threads it into the
     jitted impl as a static so set_block_r is never shadowed by a stale
@@ -523,18 +536,19 @@ def fused_upsample_z(spec: EndoSurfSpec, params: Dict[str, Any],
     LAST_BLOCK_R_CAP = BLOCK_R
     return _fused_upsample_z(spec, params, rays_o, rays_d_z, t, z_vals,
                              n_importance, n_rounds, BLOCK_R,
-                             compute_dtype, interpret)
+                             compute_dtype, interpret, return_sdf)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "spec", "n_importance", "n_rounds", "block_r_cap", "compute_dtype",
-    "interpret"))
+    "interpret", "return_sdf"))
 def _fused_upsample_z(spec: EndoSurfSpec, params: Dict[str, Any],
                       rays_o: jnp.ndarray, rays_d_z: jnp.ndarray,
                       t: jnp.ndarray, z_vals: jnp.ndarray,
                       n_importance: int, n_rounds: int, block_r_cap: int,
                       compute_dtype=jnp.float32,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      return_sdf: bool = False) -> jnp.ndarray:
     n = rays_o.shape[0]
     n0 = z_vals.shape[1]
     assert upsample_shape_supported(n0, n_importance, n_rounds), (
@@ -561,16 +575,23 @@ def _fused_upsample_z(spec: EndoSurfSpec, params: Dict[str, Any],
                             memory_space=pltpu.VMEM)
     in_specs = ([row_spec] * 4
                 + _const_specs(const_arrays + layer_arrays + mats))
+    out_spec = pl.BlockSpec((block_r, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_total, LANES), jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_upsample_kernel, spec, (n0, k_new, n_rounds),
+        functools.partial(_upsample_kernel, spec,
+                          (n0, k_new, n_rounds, return_sdf),
                           n_deform, compute_dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_r, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_total, LANES), jnp.float32),
+        out_specs=[out_spec, out_spec] if return_sdf else out_spec,
+        out_shape=[out_shape, out_shape] if return_sdf else out_shape,
         interpret=interpret,
     )(o3, d3, rc, z0, *const_arrays, *layer_arrays, *mats)
+    if return_sdf:
+        z_out, sdf_out = out
+        return (z_out[:n, :n0 + n_importance],
+                sdf_out[:n, :n0 + n_importance])
     return out[:n, :n0 + n_importance]
 
 

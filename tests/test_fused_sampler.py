@@ -65,6 +65,37 @@ def test_upsample_parity(setup):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_upsample_return_sdf_parity(setup):
+    """return_sdf must leave z bit-identical to the plain call and emit the
+    SDF the field actually takes at those z (the march-reuse contract)."""
+    from endosurf_tpu.models.endosurf import _sdf_sampling
+
+    spec, params, rays = setup
+    rspec = RenderSpec()
+    rays_o, _rays_d, rays_d_z, t = _split_rays(rays)
+    near, far, _ = ray_sphere_intersection(rays_o, _rays_d)
+    z0 = _stratified_z(near, far, rspec.n_samples, None)
+
+    z_plain = np.asarray(fs.fused_upsample_z(
+        spec, params, rays_o, rays_d_z, t, z0, rspec.n_importance,
+        rspec.up_sample_steps, compute_dtype=jnp.float32, interpret=True))
+    z, sdf = fs.fused_upsample_z(
+        spec, params, rays_o, rays_d_z, t, z0, rspec.n_importance,
+        rspec.up_sample_steps, compute_dtype=jnp.float32, interpret=True,
+        return_sdf=True)
+    z, sdf = np.asarray(z), np.asarray(sdf)
+    np.testing.assert_array_equal(z, z_plain)
+
+    n, s = z.shape
+    pts = (np.asarray(rays_o)[:, None, :]
+           + z[..., None] * np.asarray(rays_d_z)[:, None, :])
+    tt = np.broadcast_to(np.asarray(t)[:, None, :], (n, s, 1))
+    ref = np.asarray(_sdf_sampling(
+        spec, params, jnp.asarray(pts.reshape(-1, 3)),
+        jnp.asarray(tt.reshape(-1, 1)))).reshape(n, s)
+    np.testing.assert_allclose(sdf, ref, atol=2e-5)
+
+
 def test_ray_march_parity(setup):
     spec, params, rays = setup
     rays_o, rays_d, rays_d_z, t = _split_rays(rays)
