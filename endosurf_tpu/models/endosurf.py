@@ -174,11 +174,17 @@ def _stratified_z(near: jnp.ndarray, far: jnp.ndarray, n_samples: int,
 
 def upsample_z(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
                rays_o: jnp.ndarray, rays_d_z: jnp.ndarray, t: jnp.ndarray,
-               z_vals: jnp.ndarray) -> jnp.ndarray:
+               z_vals: jnp.ndarray, return_sdf: bool = False) -> jnp.ndarray:
     """SDF-guided importance upsampling (endosurf.py:85-110, 221-287).
 
     Static unroll over ``up_sample_steps`` rounds at sharpness 64 * 2^i; the
     whole procedure is sampling-only, so it runs under stop_gradient.
+
+    With ``return_sdf`` returns (z, sdf) — the per-sample SDF the procedure
+    already evaluated (plus the final round's new columns, normally skipped
+    because render_core re-evaluates at section midpoints). The z output is
+    identical either way; the pair feeds the march-reuse surface
+    localization (:func:`surface_from_samples`).
     """
     n_rays = z_vals.shape[0]
     n_per_step = rspec.n_importance // rspec.up_sample_steps
@@ -196,7 +202,7 @@ def upsample_z(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
         weights = upsample_weights_from_sdf(z_vals, sdf, radius, 64.0 * 2 ** i)
         new_z = sample_pdf(z_vals, weights, n_per_step, key=None)
         last = i + 1 == rspec.up_sample_steps
-        if last:
+        if last and not return_sdf:
             # Final round only needs sorted z (render_core re-evaluates SDF
             # at section midpoints anyway) — mirrors cat_z_vals(last=True).
             z_vals = jnp.sort(
@@ -210,6 +216,8 @@ def upsample_z(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
                 tt.reshape(-1, 1)).reshape(n_rays, n_per_step)
             z_vals, sdf = merge_sorted_z(z_vals, new_z, sdf, new_sdf)
             pts = rays_o[:, None, :] + rays_d_z[:, None, :] * z_vals[..., None]
+    if return_sdf:
+        return z_vals, sdf
     return z_vals
 
 
@@ -301,7 +309,8 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
                 remat: bool = False,
                 extra_pts: Optional[jnp.ndarray] = None,
                 extra_dirs: Optional[jnp.ndarray] = None,
-                extra_t: Optional[jnp.ndarray] = None
+                extra_t: Optional[jnp.ndarray] = None,
+                return_upsample: bool = False
                 ) -> Dict[str, jnp.ndarray]:
     """Render a batch of rays (endosurf.py:60-132).
 
@@ -314,6 +323,9 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
         with the default configs it is always on).
       extra_pts/extra_dirs/extra_t: auxiliary points batched into the
         render_core field evaluation (see render_core).
+      return_upsample: add the stop-gradient importance samples to the
+        output dict as ``up_z``/``up_sdf`` [R, S] — the march-reuse feed
+        for :func:`surface_from_samples` (requires the importance stage).
     """
     rays_o, rays_d, rays_d_z, t = _split_rays(rays)
     near, far, _ = ray_sphere_intersection(rays_o, rays_d)
@@ -325,6 +337,10 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
         z_key = key
     z_vals = _stratified_z(near, far, rspec.n_samples, z_key)
 
+    if return_upsample and not (use_importance and rspec.n_importance > 0):
+        raise ValueError("return_upsample requires the importance stage")
+
+    up_sdf = None
     if use_importance and rspec.n_importance > 0:
         # Sampling-only: picks z locations under stop_gradient, so it runs at
         # the (usually lower) sampling matmul precision — see ops/mlp.py. On
@@ -342,20 +358,31 @@ def render_rays(spec: EndoSurfSpec, rspec: RenderSpec, params: Params,
                         spec, p, ro, rdz, tt, z0,
                         rspec.n_importance, rspec.up_sample_steps,
                         compute_dtype=_sampling_compute_dtype(),
-                        interpret=_sampler_interpret())
+                        interpret=_sampler_interpret(),
+                        return_sdf=return_upsample)
 
                 if up_mesh is not None:
-                    _up = _shard_map_rays(_up, up_mesh, 4)
-                z_vals = jax.lax.stop_gradient(
+                    _up = _shard_map_rays(
+                        _up, up_mesh, 4, n_out=2 if return_upsample else 1)
+                res = jax.lax.stop_gradient(
                     _up(sg_params, rays_o, rays_d_z, t, z_vals))
             else:
-                z_vals = jax.lax.stop_gradient(
+                res = jax.lax.stop_gradient(
                     upsample_z(spec, rspec, sg_params,
-                               rays_o, rays_d_z, t, z_vals))
+                               rays_o, rays_d_z, t, z_vals,
+                               return_sdf=return_upsample))
+            if return_upsample:
+                z_vals, up_sdf = res
+            else:
+                z_vals = res
 
-    return render_core(spec, params, rays, z_vals, sample_dist, anneal,
-                       remat=remat, extra_pts=extra_pts,
-                       extra_dirs=extra_dirs, extra_t=extra_t)
+    out = render_core(spec, params, rays, z_vals, sample_dist, anneal,
+                      remat=remat, extra_pts=extra_pts,
+                      extra_dirs=extra_dirs, extra_t=extra_t)
+    if return_upsample:
+        out["up_z"] = z_vals
+        out["up_sdf"] = up_sdf
+    return out
 
 
 def render_rays_inference(spec: EndoSurfSpec, rspec: RenderSpec,
@@ -462,30 +489,20 @@ def error_on_depth(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
     return error_on_depth_from(sdf, grad, pts, rays, mask)
 
 
-def ray_march(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
-              tau: float = 0.0, n_steps: int = 128, n_secant: int = 8
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sphere-trace surface depths along rays (endosurf.py:344-449).
-
-    Fixed-shape: every ray runs all steps; invalid rays are masked instead of
-    filtered. (The reference's randint(128,129) step count is constant 128.)
-
-    Returns:
-      (depth [R, 1], valid [R, 1] bool): depth is the secant-refined z where
-      the SDF first crosses + -> -, meaningful only where ``valid``.
-    """
-    rays_o, rays_d, rays_d_z, t = _split_rays(rays)
-    near, far, _ = ray_sphere_intersection(rays_o, rays_d)
-    n_rays = rays.shape[0]
-
-    t_vals = jnp.linspace(0.0, 1.0, n_steps, dtype=rays.dtype)
-    d_prop = near * (1.0 - t_vals)[None, :] + far * t_vals[None, :]  # [R, S]
-    pts = rays_o[:, None, :] + d_prop[..., None] * rays_d_z[:, None, :]
-    tt = jnp.broadcast_to(t[:, None, :], (n_rays, n_steps, 1))
-
-    sdf = _sdf_sampling(spec, params, pts.reshape(-1, 3),
-                        tt.reshape(-1, 1)).reshape(n_rays, n_steps)
-    val = -(sdf - tau)  # occupancy-style: negative outside
+def _locate_crossing(spec: EndoSurfSpec, params: Params,
+                     rays_o: jnp.ndarray, rays_d_z: jnp.ndarray,
+                     t: jnp.ndarray, d_prop: jnp.ndarray, val: jnp.ndarray,
+                     near: jnp.ndarray, far: jnp.ndarray,
+                     tau: float, n_secant: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared surface localization: find the first + -> - crossing of the
+    occupancy-style ``val = -(sdf - tau)`` over per-ray depth proposals
+    ``d_prop`` [R, S] (ascending), then secant-refine with ``n_secant``
+    fresh SDF evaluations (0 = pure crossing-pair interpolation, which IS
+    the first secant prediction). Used by :func:`ray_march` (fresh uniform
+    proposals, endosurf.py:398-449) and :func:`surface_from_samples`
+    (reused importance samples)."""
+    n_rays, n_steps = d_prop.shape
 
     first_free = val[:, 0] < 0
     sign = jnp.sign(val[:, :-1] * val[:, 1:])
@@ -514,10 +531,11 @@ def ray_march(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
         d_pred = -f_low * (d_high - d_low) / (f_high - f_low + 1e-12) + d_low
         return (d_low, f_low, d_high, f_high, d_pred), None
 
-    d_pred0 = -f_low * (d_high - d_low) / (f_high - f_low + 1e-12) + d_low
-    (_, _, _, _, d_pred), _ = jax.lax.scan(
-        secant_step, (d_low, f_low, d_high, f_high, d_pred0), None,
-        length=n_secant)
+    d_pred = -f_low * (d_high - d_low) / (f_high - f_low + 1e-12) + d_low
+    if n_secant > 0:
+        (_, _, _, _, d_pred), _ = jax.lax.scan(
+            secant_step, (d_low, f_low, d_high, f_high, d_pred), None,
+            length=n_secant)
 
     # Keep depths finite everywhere (NaN-safe for downstream masked math);
     # invalid rays get the chord midpoint as a harmless placeholder.
@@ -525,20 +543,89 @@ def ray_march(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
     return d_safe[:, None], valid[:, None]
 
 
+def ray_march(spec: EndoSurfSpec, params: Params, rays: jnp.ndarray,
+              tau: float = 0.0, n_steps: int = 128, n_secant: int = 8
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sphere-trace surface depths along rays (endosurf.py:344-449).
+
+    Fixed-shape: every ray runs all steps; invalid rays are masked instead of
+    filtered. (The reference's randint(128,129) step count is constant 128.)
+
+    Returns:
+      (depth [R, 1], valid [R, 1] bool): depth is the secant-refined z where
+      the SDF first crosses + -> -, meaningful only where ``valid``.
+    """
+    rays_o, rays_d, rays_d_z, t = _split_rays(rays)
+    near, far, _ = ray_sphere_intersection(rays_o, rays_d)
+    n_rays = rays.shape[0]
+
+    t_vals = jnp.linspace(0.0, 1.0, n_steps, dtype=rays.dtype)
+    d_prop = near * (1.0 - t_vals)[None, :] + far * t_vals[None, :]  # [R, S]
+    pts = rays_o[:, None, :] + d_prop[..., None] * rays_d_z[:, None, :]
+    tt = jnp.broadcast_to(t[:, None, :], (n_rays, n_steps, 1))
+
+    sdf = _sdf_sampling(spec, params, pts.reshape(-1, 3),
+                        tt.reshape(-1, 1)).reshape(n_rays, n_steps)
+    val = -(sdf - tau)  # occupancy-style: negative outside
+
+    return _locate_crossing(spec, params, rays_o, rays_d_z, t, d_prop, val,
+                            near, far, tau, n_secant)
+
+
+def surface_from_samples(spec: EndoSurfSpec, params: Params,
+                         rays: jnp.ndarray, z_vals: jnp.ndarray,
+                         sdf: jnp.ndarray, tau: float = 0.0,
+                         n_secant: int = 0
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Surface localization on REUSED importance samples — the march-reuse
+    replacement for :func:`ray_march` in the train step.
+
+    The render's upsample stage already evaluated the SDF at n0+n_importance
+    points per ray, concentrated near the surface by construction (exactly
+    where the march's uniform 128 proposals try to land). Reusing that
+    (z, sdf) pair makes the 128-eval sphere trace redundant: crossing
+    detection on importance samples resolves the surface to the fine-round
+    interval width, and the crossing-pair interpolation (= first secant
+    prediction) localizes far below the 0.05 neighbour radius the consumer
+    (surface_neighbour_error, endosurf.py:319-342) samples at. ``n_secant``
+    fresh evaluations are available for stricter refinement.
+
+    Same validity contract as ray_march: first sample must be free space and
+    a + -> - crossing must exist.
+    """
+    rays_o, _rays_d, rays_d_z, t = _split_rays(rays)
+    near, far, _ = ray_sphere_intersection(rays_o, _rays_d)
+    val = -(sdf - tau)
+    return _locate_crossing(spec, params, rays_o, rays_d_z, t, z_vals, val,
+                            near, far, tau, n_secant)
+
+
 def surface_neighbour_points(spec: EndoSurfSpec, params: Params,
                              rays: jnp.ndarray, mask: jnp.ndarray,
-                             key: jax.Array, neighbour_rad: float = 0.05
+                             key: jax.Array, neighbour_rad: float = 0.05,
+                             samples: Optional[Tuple[jnp.ndarray,
+                                                     jnp.ndarray]] = None,
+                             n_secant_reuse: int = 0
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sphere-trace the surface and draw neighbour offsets
     (endosurf.py:319-332): the sampling-only half of
     :func:`surface_neighbour_error`. Returns (pts2 [2R, 3] — surface points
-    then neighbours — and valid [R, 1])."""
+    then neighbours — and valid [R, 1]).
+
+    With ``samples`` (the render's stop-gradient (up_z, up_sdf) pair) the
+    fresh sphere trace is skipped entirely in favour of
+    :func:`surface_from_samples` — the march-reuse path."""
     rays_o, rays_d, rays_d_z, t = _split_rays(rays)
     with sampling_precision_scope():
         sg_params = jax.lax.stop_gradient(params)
         from endosurf_tpu.kernels.fused_sampler import march_sampler_mesh
         march_mesh = march_sampler_mesh(rays.shape[0])
-        if _sampler_serves_march(rays.shape[0]) or march_mesh is not None:
+        if samples is not None:
+            up_z, up_sdf = samples
+            d_surf, valid = surface_from_samples(
+                spec, sg_params, rays, jax.lax.stop_gradient(up_z),
+                jax.lax.stop_gradient(up_sdf), n_secant=n_secant_reuse)
+        elif _sampler_serves_march(rays.shape[0]) or march_mesh is not None:
             from endosurf_tpu.kernels.fused_sampler import fused_ray_march
             near, far, _ = ray_sphere_intersection(rays_o, rays_d)
 
@@ -579,13 +666,19 @@ def surface_neighbour_error_from(g2: jnp.ndarray, valid: jnp.ndarray
 
 def surface_neighbour_error(spec: EndoSurfSpec, params: Params,
                             rays: jnp.ndarray, mask: jnp.ndarray,
-                            key: jax.Array, neighbour_rad: float = 0.05
+                            key: jax.Array, neighbour_rad: float = 0.05,
+                            samples: Optional[Tuple[jnp.ndarray,
+                                                    jnp.ndarray]] = None,
+                            n_secant_reuse: int = 0
                             ) -> jnp.ndarray:
     """Normal-consistency regularizer near the traced surface
-    (endosurf.py:319-342), as a fixed-shape masked mean."""
+    (endosurf.py:319-342), as a fixed-shape masked mean. ``samples``
+    switches surface localization to the march-reuse path (see
+    :func:`surface_neighbour_points`)."""
     t = rays[..., 8:9]
     pts2, valid = surface_neighbour_points(spec, params, rays, mask, key,
-                                           neighbour_rad)
+                                           neighbour_rad, samples=samples,
+                                           n_secant_reuse=n_secant_reuse)
     t2 = jnp.concatenate([t, t], axis=0)
     g = sdf_grad_observed(spec, params, pts2, t2)
     return surface_neighbour_error_from(g, valid)

@@ -45,7 +45,8 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
                     surf_neig_rad: float, mask_guided: bool = True,
                     use_importance: bool = True, remat: bool = True,
                     mesh=None, steps_per_call: int = 1,
-                    fold_aux: bool = False, presample: bool = True):
+                    fold_aux: bool = False, presample: bool = True,
+                    march_reuse: bool = False, march_reuse_secant: int = 0):
     """Build the jitted training step.
 
     Terms with zero weight are compiled out entirely (the reference computes
@@ -71,6 +72,15 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
                         or loss_weights["angle_loss_weight"] != 0.0
                         or loss_weights["depth_loss_weight"] != 0.0)
     need_surf = loss_weights["surf_neig_loss_weight"] != 0.0
+    # March-reuse (round 5): localize the surface on the render's OWN
+    # importance samples (surface_from_samples) instead of the fresh
+    # 128-eval sphere trace — the march kernel evaluates as many field
+    # points as the whole render forward just to place the neighbour pairs.
+    # Needs the importance stage's (z, sdf) threaded out of render_rays, so
+    # it is incompatible with fold_aux's surf folding (which must trace
+    # BEFORE the render) — fold_aux wins if both are set (it ships off).
+    march_reuse = (march_reuse and need_surf and use_importance
+                   and rspec.n_importance > 0 and not fold_aux)
 
     def loss_fn(params, batch, step_f, key):
         """With ``fold_aux`` the auxiliary field queries — SDF+grad at the
@@ -114,7 +124,7 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
 
         out = render_rays(spec, rspec, params, rays, step_f,
                           key=k_z, use_importance=use_importance,
-                          remat=remat, **extra)
+                          remat=remat, return_upsample=march_reuse, **extra)
 
         if fold_aux and need_depth_terms:
             sdf_err, angle_err, valid_region = error_on_depth_from(
@@ -133,7 +143,10 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
                 out["extra_grad"][off:off + 2 * n_rays], valid_surf)
         elif need_surf:
             surf_err = surface_neighbour_error(
-                spec, params, rays, batch["mask"], k_neig, surf_neig_rad)
+                spec, params, rays, batch["mask"], k_neig, surf_neig_rad,
+                samples=((out["up_z"], out["up_sdf"]) if march_reuse
+                         else None),
+                n_secant_reuse=march_reuse_secant)
         else:
             surf_err = jnp.asarray(0.0)
 
@@ -323,7 +336,10 @@ class EndoSurfTrainer(Trainer):
                 use_importance=use_importance, remat=self.remat,
                 mesh=self.mesh, steps_per_call=steps_per_call,
                 fold_aux=self.train_cfg.get("fold_aux_queries", False),
-                presample=self.train_cfg.get("presample_batches", True))
+                presample=self.train_cfg.get("presample_batches", True),
+                march_reuse=self.train_cfg.get("surf_march_reuse", False),
+                march_reuse_secant=self.train_cfg.get(
+                    "surf_march_reuse_secant", 0))
         return self._step_fns[cache_key]
 
     def opt_state_template(self):

@@ -17,6 +17,7 @@ from endosurf_tpu.models.endosurf import (
     error_on_depth,
     ray_march,
     render_rays,
+    surface_from_samples,
     surface_neighbour_error,
 )
 from endosurf_tpu.models.fields import EndoSurfSpec, init_endosurf_params
@@ -104,6 +105,73 @@ class TestRayMarch:
         np.testing.assert_allclose(sdf, 0.0, atol=5e-3)
         assert np.asarray(depth).std() < 0.05
 
+    def test_surface_from_samples_matches_march(self, static_sphere):
+        """March-reuse localization on the render's importance samples must
+        land on the same zero level set as the fresh 128-eval sphere trace
+        (the consumer only needs localization far below the 0.05 neighbour
+        radius)."""
+        spec, params = static_sphere
+        rspec = RenderSpec()
+        rays = make_rays(8, spread=0.02)
+        out = render_rays(spec, rspec, params, rays, jnp.asarray(0.0),
+                          return_upsample=True)
+        assert out["up_z"].shape == out["up_sdf"].shape == (
+            8, rspec.n_samples + rspec.n_importance)
+        assert bool(jnp.all(jnp.diff(out["up_z"], axis=-1) >= 0))
+
+        d_march, v_march = ray_march(spec, params, rays)
+        d_reuse, v_reuse = surface_from_samples(
+            spec, params, rays, out["up_z"], out["up_sdf"])
+        assert bool(np.all(np.asarray(v_reuse)))
+        np.testing.assert_array_equal(np.asarray(v_reuse),
+                                      np.asarray(v_march))
+        np.testing.assert_allclose(np.asarray(d_reuse), np.asarray(d_march),
+                                   atol=5e-3)
+
+        from endosurf_tpu.models.fields import sdf_observed
+        o = rays[:, :3]
+        d_z = rays[:, 3:6] / rays[:, 5:6]
+        pts = o + d_reuse * d_z
+        sdf = np.asarray(sdf_observed(spec, params, pts, rays[:, 8:9]))
+        np.testing.assert_allclose(sdf, 0.0, atol=5e-3)
+
+        # Secant refinement on top of reuse tightens (or matches) |sdf|.
+        d_sec, _ = surface_from_samples(
+            spec, params, rays, out["up_z"], out["up_sdf"], n_secant=4)
+        sdf_sec = np.asarray(sdf_observed(
+            spec, params, o + d_sec * d_z, rays[:, 8:9]))
+        assert np.abs(sdf_sec).max() <= np.abs(sdf).max() + 1e-5
+
+    def test_return_upsample_leaves_render_unchanged(self, static_sphere):
+        spec, params = static_sphere
+        rspec = RenderSpec()
+        rays = make_rays(4)
+        key = jax.random.PRNGKey(3)
+        plain = render_rays(spec, rspec, params, rays, jnp.asarray(0.0),
+                            key=key)
+        with_up = render_rays(spec, rspec, params, rays, jnp.asarray(0.0),
+                              key=key, return_upsample=True)
+        np.testing.assert_array_equal(np.asarray(plain["depth_map"]),
+                                      np.asarray(with_up["depth_map"]))
+        np.testing.assert_array_equal(np.asarray(plain["color_map"]),
+                                      np.asarray(with_up["color_map"]))
+
+    def test_miss_is_invalid_from_samples(self, static_sphere):
+        spec, params = static_sphere
+        # Rays pointing away from the sphere never cross the surface.
+        o = np.tile([0.0, 0.0, -2.0], (4, 1))
+        d = np.tile([0.0, 0.0, -1.0], (4, 1))
+        rays = jnp.asarray(np.concatenate(
+            [o, d, np.zeros((4, 1)), np.full((4, 1), 4.0),
+             np.full((4, 1), 0.5)], -1).astype(np.float32))
+        rspec = RenderSpec()
+        out = render_rays(spec, rspec, params, rays, jnp.asarray(0.0),
+                          return_upsample=True)
+        depth, valid = surface_from_samples(
+            spec, params, rays, out["up_z"], out["up_sdf"])
+        assert not bool(np.any(np.asarray(valid)))
+        assert np.all(np.isfinite(np.asarray(depth)))
+
     def test_miss_is_invalid(self, static_sphere):
         spec, params = static_sphere
         # Rays pointing away from the sphere never cross the surface.
@@ -159,6 +227,26 @@ class TestDepthLosses:
         color0, grad0 = render_on_depth(spec, params, rays, depth,
                                         jnp.zeros_like(valid))
         np.testing.assert_array_equal(np.asarray(color0), 0.0)
+
+    def test_surface_neighbour_error_reuse_close_to_march(
+            self, static_sphere):
+        spec, params = static_sphere
+        rspec = RenderSpec()
+        rays = make_rays(8, spread=0.02)
+        mask = jnp.ones((8, 1))
+        key = jax.random.PRNGKey(0)
+        err_march = surface_neighbour_error(spec, params, rays, mask, key,
+                                            0.05)
+        out = render_rays(spec, rspec, params, rays, jnp.asarray(0.0),
+                          return_upsample=True)
+        err_reuse = surface_neighbour_error(
+            spec, params, rays, mask, key, 0.05,
+            samples=(out["up_z"], out["up_sdf"]))
+        # Same surface, same neighbour draw (same key) -> near-identical
+        # normal-consistency error; the only difference is the sub-mm
+        # localization delta between secant-refined march and reuse interp.
+        np.testing.assert_allclose(float(err_reuse), float(err_march),
+                                   atol=2e-3)
 
     def test_surface_neighbour_error_all_masked(self, static_sphere):
         spec, params = static_sphere

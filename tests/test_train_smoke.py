@@ -413,6 +413,70 @@ def test_fold_aux_queries_matches_unfolded(scene):
             assert abs(va - vb) <= 2e-5 + 1e-4 * abs(va), (i, k, va, vb)
 
 
+def test_march_reuse_step_tracks_march(scene):
+    """surf_march_reuse localizes the surface on the render's own importance
+    samples instead of the fresh sphere trace. The losses are not
+    bit-identical (localization differs by the sub-interval interpolation
+    delta) but every term must track the march path closely from the same
+    params/keys."""
+    import jax.numpy as jnp
+    import optax
+
+    from endosurf_tpu.models.endosurf import RenderSpec
+    from endosurf_tpu.models.fields import (EndoSurfSpec, MLPSpec,
+                                            init_endosurf_params)
+    from endosurf_tpu.train.schedules import warmup_cosine
+    from endosurf_tpu.train.trainer_endosurf import make_train_step
+
+    spec = EndoSurfSpec(
+        deform_pos_freqs=2, deform_time_freqs=2, sdf_pos_freqs=2,
+        color_pos_freqs=2, color_dir_freqs=2,
+        deform=MLPSpec(2, 32, (), 3), sdf=MLPSpec(2, 32, (), 17),
+        color=MLPSpec(2, 32, (), 3), color_feat_dim=16)
+    rspec = RenderSpec(n_samples=4, n_importance=4, up_sample_steps=2,
+                       anneal_end=10.0)
+    tx = optax.adam(warmup_cosine(5e-4, 5, 100, 0.05))
+    lw = {"color_loss_weight": 1.0, "depth_loss_weight": 1.0,
+          "sdf_loss_weight": 1.0, "angle_loss_weight": 0.1,
+          "eikonal_loss_weight": 0.1, "surf_neig_loss_weight": 0.1}
+    params0 = init_endosurf_params(jax.random.PRNGKey(0), spec)
+
+    res = {}
+    for reuse in (False, True):
+        # The toy config has only 8 samples/ray, so pure crossing-pair
+        # interpolation is far coarser than the march's 128 proposals —
+        # secant refinement closes that gap (at the flagship 128-sample
+        # config tests/test_renderer.py shows 5e-3 agreement unrefined).
+        step_fn = make_train_step(
+            spec, rspec, tx, scene.h, scene.w, 32, lw, surf_neig_rad=0.1,
+            remat=False, march_reuse=reuse, march_reuse_secant=8)
+        p = jax.tree_util.tree_map(jnp.array, params0)
+        o = tx.init(p)
+        key = jax.random.PRNGKey(7)
+        ms = []
+        for i in range(3):
+            key, k = jax.random.split(key)
+            p, o, m = step_fn(p, o, scene.device_arrays, k,
+                              jnp.asarray(float(i + 1)))
+            ms.append({kk: float(np.asarray(v)) for kk, v in m.items()})
+        res[reuse] = ms
+    for i in range(3):
+        for k, va in res[False][i].items():
+            vb = res[True][i][k]
+            assert np.isfinite(vb), (i, k)
+            if k == "loss_surf_neig":
+                # At 8 samples/ray the reuse brackets occasionally pick a
+                # different (equally real) first crossing than the 128
+                # uniform proposals on marginal rays, and with ~5 valid
+                # rays/batch one flip moves this masked mean a lot. Demand
+                # the same order of magnitude here; the flagship-resolution
+                # agreement is asserted in tests/test_renderer.py (5e-3 on
+                # depth, 2e-3 on the error term, unrefined).
+                assert 0.3 * va <= vb <= 3.0 * va + 1e-4, (i, k, va, vb)
+            else:
+                assert abs(va - vb) <= 1e-3 + 5e-2 * abs(va), (i, k, va, vb)
+
+
 def test_presample_window_parity(scene):
     """presample hoists the window's K batch samples into one vmapped
     gather phase before the scan. The key chain reproduces the scan's

@@ -84,6 +84,11 @@ def main():
                          "Models realistic stereo-matching error — the "
                          "regime the paper motivates the sdf-on-depth loss "
                          "for (reference endosurf.py:289-317).")
+    ap.add_argument("--march-reuse", action="store_true",
+                    help="surf_march_reuse: localize the surface on the "
+                         "render's own importance samples instead of the "
+                         "fresh 128-eval sphere trace (round-5 lever).")
+    ap.add_argument("--march-reuse-secant", type=int, default=0)
     ap.add_argument("--deform-width", type=int, default=None)
     ap.add_argument("--deform-layers", type=int, default=None)
     ap.add_argument("--time-octaves", type=int, default=None)
@@ -165,6 +170,9 @@ def main():
                    "no_eikonal": "eikonal_loss_weight",
                    "no_surf_neig": "surf_neig_loss_weight"}[args.ablation]
             cfg["train"][key] = 0.0
+        if args.march_reuse:
+            cfg["train"]["surf_march_reuse"] = True
+            cfg["train"]["surf_march_reuse_secant"] = args.march_reuse_secant
         dn = cfg["net"]["deform_network"]
         if args.deform_width:
             dn["hidden_dim"] = args.deform_width
