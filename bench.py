@@ -137,20 +137,30 @@ def bench_eval_serving(model: str = "endosurf", budget_s: float = 1800.0):
                     "bench_eval.py"), "--model", model,
            "--chunks", "2048", "--chunks-per-call", "1", "--frames", "2",
            "--render-kernel", "auto"]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=budget_s)
-    except subprocess.TimeoutExpired:
-        return None
-    value = None
-    for line in proc.stdout.splitlines():
+    # One retry: the tunnel's remote-compile helper intermittently returns
+    # HTTP 500 (observed killing whole sweep units, logs/r4_ab_sampler_
+    # block.log); a lost serving number from a transient is worth 60s.
+    for attempt in range(2):
         try:
-            rec = json.loads(line)
-        except ValueError:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=budget_s)
+        except subprocess.TimeoutExpired:
+            print(f"# bench_eval_serving({model}) attempt {attempt}: "
+                  f"timeout after {budget_s}s", file=sys.stderr, flush=True)
             continue
-        if rec.get("metric") == f"{model}_eval_rays_per_sec":
-            value = rec["value"]
-    return value
+        for line in proc.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("metric") == f"{model}_eval_rays_per_sec":
+                return rec["value"]
+        # No metric line: surface the child's tail so a driver-run bench
+        # records WHY the field is null instead of a silent gap.
+        tail = "\n".join((proc.stderr or proc.stdout or "").splitlines()[-8:])
+        print(f"# bench_eval_serving({model}) attempt {attempt}: no metric; "
+              f"child tail:\n{tail}", file=sys.stderr, flush=True)
+    return None
 
 
 def bench_endonerf():
