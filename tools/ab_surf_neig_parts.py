@@ -77,7 +77,8 @@ def main():
     orig_pts = es.surface_neighbour_points
     orig_from = es.surface_neighbour_error_from
 
-    def pts_no_march(spec, params, rays, mask, key, neighbour_rad=0.05):
+    def pts_no_march(spec, params, rays, mask, key, neighbour_rad=0.05,
+                     samples=None, n_secant_reuse=0):
         """Mid-chord placeholder surface: same shapes/dtypes, no march."""
         rays_o, rays_d, rays_d_z, t = es._split_rays(rays)
         near, far, _ = es.ray_sphere_intersection(rays_o, rays_d)
