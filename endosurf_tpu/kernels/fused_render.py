@@ -195,7 +195,7 @@ def _render_kernel(spec, cfg, n_deform, sampling_dtype, counts, eff_def,
             spec, n_deform, sampling_dtype, sdf_consts, sdf_layers,
             misc, o3, d3, a, b, c,
             z, sdf, n0 + i * k_new, k_new, 64.0 * 2 ** i,
-            last=(i + 1 == n_rounds))
+            need_new_sdf=(i + 1 < n_rounds))
 
     # --- section midpoints (render_core, endosurf.py:134-160) -------------
     on = iota < float(n_final)
