@@ -46,7 +46,7 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
                     use_importance: bool = True, remat: bool = True,
                     mesh=None, steps_per_call: int = 1,
                     fold_aux: bool = False, presample: bool = True,
-                    march_reuse: bool = False, march_reuse_secant: int = 0):
+                    march_reuse: bool = True, march_reuse_secant: int = 0):
     """Build the jitted training step.
 
     Terms with zero weight are compiled out entirely (the reference computes
@@ -337,7 +337,7 @@ class EndoSurfTrainer(Trainer):
                 mesh=self.mesh, steps_per_call=steps_per_call,
                 fold_aux=self.train_cfg.get("fold_aux_queries", False),
                 presample=self.train_cfg.get("presample_batches", True),
-                march_reuse=self.train_cfg.get("surf_march_reuse", False),
+                march_reuse=self.train_cfg.get("surf_march_reuse", True),
                 march_reuse_secant=self.train_cfg.get(
                     "surf_march_reuse_secant", 0))
         return self._step_fns[cache_key]

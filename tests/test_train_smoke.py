@@ -393,9 +393,14 @@ def test_fold_aux_queries_matches_unfolded(scene):
 
     res = {}
     for fold in (False, True):
+        # march_reuse pinned OFF on both sides: fold_aux forces the march
+        # chain (its surf queries trace before the render), so with the
+        # round-5 reuse default the unfolded side would localize the
+        # surface differently and the comparison would no longer isolate
+        # fold_aux's program restructuring.
         step_fn = make_train_step(
             spec, rspec, tx, scene.h, scene.w, 32, lw, surf_neig_rad=0.1,
-            remat=False, fold_aux=fold)
+            remat=False, fold_aux=fold, march_reuse=False)
         import jax.numpy as jnp
         p = jax.tree_util.tree_map(jnp.array, params0)
         o = tx.init(p)

@@ -87,7 +87,12 @@ def main():
     ap.add_argument("--march-reuse", action="store_true",
                     help="surf_march_reuse: localize the surface on the "
                          "render's own importance samples instead of the "
-                         "fresh 128-eval sphere trace (round-5 lever).")
+                         "fresh 128-eval sphere trace (round-5 lever; "
+                         "the SHIPPING default since the round-5 flip — "
+                         "this flag pins it on for older-default configs).")
+    ap.add_argument("--no-march-reuse", action="store_true",
+                    help="pin surf_march_reuse OFF (the pre-round-5 march "
+                         "chain) for A/B comparisons against older runs.")
     ap.add_argument("--march-reuse-secant", type=int, default=0)
     ap.add_argument("--deform-width", type=int, default=None)
     ap.add_argument("--deform-layers", type=int, default=None)
@@ -173,6 +178,8 @@ def main():
         if args.march_reuse:
             cfg["train"]["surf_march_reuse"] = True
             cfg["train"]["surf_march_reuse_secant"] = args.march_reuse_secant
+        if args.no_march_reuse:
+            cfg["train"]["surf_march_reuse"] = False
         dn = cfg["net"]["deform_network"]
         if args.deform_width:
             dn["hidden_dim"] = args.deform_width
