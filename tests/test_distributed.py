@@ -148,27 +148,43 @@ def _communicate_all(procs, timeout):
     return outs
 
 
+def _gloo_init_flake(procs, outs):
+    """True iff a worker failed specifically on the Gloo KV handshake.
+
+    XLA's gloo store adapter hardcodes a 30 s GetKeyValue timeout (no jax
+    knob); on this 1-core box a peer that is still importing/compiling when
+    the other enters its first collective trips it — a pure startup race,
+    the one infra failure worth exactly one retry (any other failure mode
+    still fails immediately)."""
+    return any(p.returncode != 0
+               and "Gloo context initialization failed" in out
+               for p, out in zip(procs, outs))
+
+
 def _run_workers(worker_src: str, n: int = 2, timeout: int = 1800):
-    port = _free_port()
-    procs = []
-    for pid in range(n):
-        env = dict(os.environ)
-        env.update({
-            "ESN_REPO": REPO,
-            "PYTHONPATH": REPO,
-            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
-            "JAX_NUM_PROCESSES": str(n),
-            "JAX_PROCESS_ID": str(pid),
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-            "JAX_PLATFORMS": "cpu",
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", worker_src], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = _communicate_all(procs, timeout)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out}"
-    return outs
+    for attempt in range(2):
+        port = _free_port()
+        procs = []
+        for pid in range(n):
+            env = dict(os.environ)
+            env.update({
+                "ESN_REPO": REPO,
+                "PYTHONPATH": REPO,
+                "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+                "JAX_NUM_PROCESSES": str(n),
+                "JAX_PROCESS_ID": str(pid),
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "JAX_PLATFORMS": "cpu",
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", worker_src], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outs = _communicate_all(procs, timeout)
+        if attempt == 0 and _gloo_init_flake(procs, outs):
+            continue
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        return outs
 
 
 def test_two_process_global_mesh(tmp_path):
@@ -224,27 +240,31 @@ def _cli_cfg(scene_pkl, n_iter):
 
 
 def _run_cli_pair(cfg_path, cwd, n=2, timeout=2400):
-    port = _free_port()
-    procs = []
-    for pid in range(n):
-        env = dict(os.environ)
-        env.update({
-            "PYTHONPATH": REPO,
-            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
-            "JAX_NUM_PROCESSES": str(n),
-            "JAX_PROCESS_ID": str(pid),
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-            "JAX_PLATFORMS": "cpu",
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m", "endosurf_tpu", "--cfg", cfg_path,
-             "--mode", "train", "--platform", "cpu"],
-            cwd=cwd, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = _communicate_all(procs, timeout)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"CLI process {pid} failed:\n{out[-4000:]}"
-    return outs
+    for attempt in range(2):
+        port = _free_port()
+        procs = []
+        for pid in range(n):
+            env = dict(os.environ)
+            env.update({
+                "PYTHONPATH": REPO,
+                "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+                "JAX_NUM_PROCESSES": str(n),
+                "JAX_PROCESS_ID": str(pid),
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "JAX_PLATFORMS": "cpu",
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "endosurf_tpu", "--cfg", cfg_path,
+                 "--mode", "train", "--platform", "cpu"],
+                cwd=cwd, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outs = _communicate_all(procs, timeout)
+        if attempt == 0 and _gloo_init_flake(procs, outs):
+            continue
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, \
+                f"CLI process {pid} failed:\n{out[-4000:]}"
+        return outs
 
 
 def test_two_process_cli_train_and_resume(tmp_path):
