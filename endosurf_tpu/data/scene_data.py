@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from endosurf_tpu.native.meshops import alias_table as native_alias_table
 from endosurf_tpu.ops.geometry import rays_from_pixels
-from endosurf_tpu.ops.pdf import sample_from_cdf
+from endosurf_tpu.ops.pdf import sample_from_alias, sample_from_cdf
 
 
 def decompose_projection(P: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -217,6 +218,13 @@ class SceneData:
             # log2(H*W) binary-search gathers instead of a cumsum + compare.
             "sample_cdf": jnp.asarray(norm_cdf(sample_w)),
             "uniform_cdf": jnp.asarray(norm_cdf(uniform_w)),
+            # Walker/Vose alias tables over the same weights (native O(n)
+            # build): identical categorical distribution, O(1) per draw —
+            # see ops/pdf.py::sample_from_alias and train.pixel_sampler.
+            **dict(zip(("sample_alias_prob", "sample_alias_idx"),
+                       map(jnp.asarray, native_alias_table(sample_w)))),
+            **dict(zip(("uniform_alias_prob", "uniform_alias_idx"),
+                       map(jnp.asarray, native_alias_table(uniform_w)))),
             "intrinsics_inv": jnp.asarray(intrinsics_inv),
             "poses": jnp.asarray(poses, jnp.float32),
             "bounds": jnp.asarray(bounds, jnp.float32),
@@ -281,18 +289,36 @@ class SceneData:
 
 def sample_train_batch(arrays: Dict[str, jnp.ndarray], h: int, w: int,
                        key: jax.Array, ray_batch: int,
-                       mask_guided: bool = True) -> Dict[str, jnp.ndarray]:
+                       mask_guided: bool = True,
+                       pixel_sampler: str = "cdf") -> Dict[str, jnp.ndarray]:
     """Draw one training batch: a random train frame + importance pixels.
 
     Jit-compatible equivalent of the reference sampler (dataset.py:117-161).
     Returns rays [B,9] plus per-ray supervision tensors.
+
+    pixel_sampler selects HOW the importance-weighted pixel indices are
+    drawn (identical categorical distribution either way):
+      "cdf"   — binary search over the precomputed CDF (log2(H*W) gather
+                rounds per batch);
+      "alias" — Walker/Vose alias table (two O(1) gathers per ray).
+    The PRNG streams differ, so individual draws (and loss tracks) are not
+    bit-equal across the two settings.
     """
     k_frame, k_pix = jax.random.split(key)
     list_train = arrays["list_train"]
     fid = list_train[jax.random.randint(k_frame, (), 0, list_train.shape[0])]
 
-    cdf = (arrays["sample_cdf"] if mask_guided else arrays["uniform_cdf"])[fid]
-    pix = sample_from_cdf(cdf, ray_batch, k_pix)  # [B] flat indices
+    if pixel_sampler == "alias":
+        kind = "sample" if mask_guided else "uniform"
+        pix = sample_from_alias(arrays[f"{kind}_alias_prob"][fid],
+                                arrays[f"{kind}_alias_idx"][fid],
+                                ray_batch, k_pix)  # [B] flat indices
+    elif pixel_sampler == "cdf":
+        cdf = (arrays["sample_cdf"]
+               if mask_guided else arrays["uniform_cdf"])[fid]
+        pix = sample_from_cdf(cdf, ray_batch, k_pix)  # [B] flat indices
+    else:
+        raise ValueError(f"unknown pixel_sampler: {pixel_sampler!r}")
 
     py = (pix // w).astype(jnp.float32)
     px = (pix % w).astype(jnp.float32)

@@ -6,6 +6,7 @@ source; rebuilt when geometry.cpp is newer than the cached .so).
 
 from endosurf_tpu.native.build import load_library  # noqa: F401
 from endosurf_tpu.native.meshops import (  # noqa: F401
+    alias_table,
     clean_mesh,
     laplacian_smooth,
     marching_tetrahedra,

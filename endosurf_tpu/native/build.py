@@ -73,6 +73,7 @@ def load_library() -> ctypes.CDLL:
     lib.esn_rasterize_mesh.argtypes = [
         f32p, ctypes.c_int, f32p, i32p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, f32p, f32p]
+    lib.esn_alias_table.argtypes = [f32p, ctypes.c_int, f32p, i32p]
 
     _lib = lib
     return lib

@@ -535,6 +535,44 @@ void esn_rasterize_mesh(const float* verts, int n_verts, const float* colors,
   }
 }
 
+// ---- categorical sampling --------------------------------------------------
+
+// Walker/Vose alias table over `n` non-negative weights. After this, drawing
+//   j ~ Uniform{0..n-1}, u ~ Uniform[0,1),  pick j if u < prob[j] else
+//   alias[j]
+// is EXACTLY the categorical distribution w / sum(w). Replaces the jit-side
+// log2(n)-round binary search over the pixel-importance CDF (the reference
+// samples the same distribution with torch.multinomial at dataset.py:134)
+// with two O(1) gathers per draw; this O(n) build runs once per scene on the
+// host. Accumulation in double so 3e5-entry pixel maps do not drift.
+void esn_alias_table(const float* w, int n, float* prob_out,
+                     int32_t* alias_out) {
+  double sum = 0.0;
+  for (int i = 0; i < n; ++i) sum += w[i] > 0.f ? (double)w[i] : 0.0;
+  if (!(sum > 0.0)) {  // degenerate: uniform fallback
+    for (int i = 0; i < n; ++i) { prob_out[i] = 1.f; alias_out[i] = i; }
+    return;
+  }
+  std::vector<double> p(n);
+  std::vector<int32_t> small, large;
+  small.reserve(n); large.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    p[i] = (w[i] > 0.f ? (double)w[i] : 0.0) / sum * n;
+    (p[i] < 1.0 ? small : large).push_back(i);
+  }
+  while (!small.empty() && !large.empty()) {
+    int s = small.back(); small.pop_back();
+    int l = large.back(); large.pop_back();
+    prob_out[s] = (float)p[s];
+    alias_out[s] = l;
+    p[l] = (p[l] + p[s]) - 1.0;
+    (p[l] < 1.0 ? small : large).push_back(l);
+  }
+  // Leftovers are 1 up to rounding: self-alias with certain acceptance.
+  for (auto& stack : {small, large})
+    for (int i : stack) { prob_out[i] = 1.f; alias_out[i] = i; }
+}
+
 void esn_radius_outlier_mask(const float* pts, int n_pts, int min_neighbors,
                              float radius, uint8_t* keep_out) {
   KDTree tree;

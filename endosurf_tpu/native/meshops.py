@@ -144,3 +144,23 @@ def radius_outlier_mask(pts: np.ndarray, min_neighbors: int,
         _f32p(pts), len(pts), int(min_neighbors), float(radius),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out.astype(bool)
+
+
+def alias_table(weights: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Walker/Vose alias table(s) for categorical sampling.
+
+    Exact O(1)-per-draw replacement for CDF binary search over the pixel
+    importance weights (the distribution the reference samples with
+    torch.multinomial, dataset.py:134). Accepts [n] or batched [..., n]
+    weights; returns (prob, alias) of the same shape (prob float32,
+    alias int32).
+    """
+    lib = load_library()
+    w = np.ascontiguousarray(weights, np.float32)
+    flat = w.reshape(-1, w.shape[-1])
+    prob = np.empty_like(flat)
+    alias = np.empty(flat.shape, np.int32)
+    for i in range(flat.shape[0]):
+        lib.esn_alias_table(_f32p(flat[i]), flat.shape[-1],
+                            _f32p(prob[i]), _i32p(alias[i]))
+    return prob.reshape(w.shape), alias.reshape(w.shape)

@@ -31,7 +31,8 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
                     tx: optax.GradientTransformation, h: int, w: int,
                     ray_batch: int, loss_weights: Dict[str, float],
                     mask_guided: bool = True, mesh=None,
-                    steps_per_call: int = 1, presample: bool = False):
+                    steps_per_call: int = 1, presample: bool = False,
+                    pixel_sampler: str = "cdf"):
     def loss_fn(params, batch, key):
         rays = batch["rays"]
         if rspec.use_depth_sampling:
@@ -57,7 +58,8 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
         del step_f  # the DNeRF objective has no step-dependent annealing
         k_batch, k_loss = jax.random.split(key)
         batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
-                                   mask_guided=mask_guided)
+                                   mask_guided=mask_guided,
+                                   pixel_sampler=pixel_sampler)
         return compute_step(params, opt_state, batch, k_loss)
 
     if steps_per_call == 1:
@@ -81,7 +83,8 @@ def make_train_step(spec: DNeRFSpec, rspec: DNeRFRenderSpec,
             k_loss = jax.vmap(lambda k: jax.random.split(k)[1])(ks)
             batches = jax.vmap(
                 lambda k: sample_train_batch(arrays, h, w, k, ray_batch,
-                                             mask_guided=mask_guided))(
+                                             mask_guided=mask_guided,
+                                             pixel_sampler=pixel_sampler))(
                 k_batch)
 
             def body(carry, x):
@@ -181,7 +184,8 @@ class EndoNeRFTrainer(Trainer):
                 mask_guided=self.train_cfg.get("mask_guided_ray_sampling",
                                                True),
                 mesh=self.mesh, steps_per_call=steps_per_call,
-                presample=self.train_cfg.get("presample_batches", False))
+                presample=self.train_cfg.get("presample_batches", False),
+                pixel_sampler=self.train_cfg.get("pixel_sampler", "cdf"))
         return self._step_fns[steps_per_call]
 
     def opt_state_template(self):

@@ -46,7 +46,8 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
                     use_importance: bool = True, remat: bool = True,
                     mesh=None, steps_per_call: int = 1,
                     fold_aux: bool = False, presample: bool = True,
-                    march_reuse: bool = True, march_reuse_secant: int = 0):
+                    march_reuse: bool = True, march_reuse_secant: int = 0,
+                    pixel_sampler: str = "cdf"):
     """Build the jitted training step.
 
     Terms with zero weight are compiled out entirely (the reference computes
@@ -168,7 +169,8 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
     def one_step(params, opt_state, arrays, key, step_f):
         k_batch, k_loss = jax.random.split(key)
         batch = sample_train_batch(arrays, h, w, k_batch, ray_batch,
-                                   mask_guided=mask_guided)
+                                   mask_guided=mask_guided,
+                                   pixel_sampler=pixel_sampler)
         return compute_step(params, opt_state, batch, k_loss, step_f)
 
     if steps_per_call == 1:
@@ -194,7 +196,8 @@ def make_train_step(spec: EndoSurfSpec, rspec: RenderSpec,
             k_loss = jax.vmap(lambda k: jax.random.split(k)[1])(ks)
             batches = jax.vmap(
                 lambda k: sample_train_batch(arrays, h, w, k, ray_batch,
-                                             mask_guided=mask_guided))(
+                                             mask_guided=mask_guided,
+                                             pixel_sampler=pixel_sampler))(
                 k_batch)
 
             def body(carry, x):
@@ -339,7 +342,8 @@ class EndoSurfTrainer(Trainer):
                 presample=self.train_cfg.get("presample_batches", True),
                 march_reuse=self.train_cfg.get("surf_march_reuse", True),
                 march_reuse_secant=self.train_cfg.get(
-                    "surf_march_reuse_secant", 0))
+                    "surf_march_reuse_secant", 0),
+                pixel_sampler=self.train_cfg.get("pixel_sampler", "cdf"))
         return self._step_fns[cache_key]
 
     def opt_state_template(self):

@@ -154,3 +154,63 @@ def test_importance_map_upweights_occluded(scene):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_alias_table_exact_distribution():
+    """Alias table encodes EXACTLY the normalized weights: for category j,
+    p(j) = (prob[j] + sum_{k: alias[k]==j} (1 - prob[k])) / n."""
+    from endosurf_tpu.native.meshops import alias_table
+    rng = np.random.default_rng(3)
+    w = (rng.random((2, 733)) * (rng.random((2, 733)) > 0.4)).astype(
+        np.float32)
+    prob, alias = alias_table(w)
+    assert prob.shape == w.shape and alias.shape == w.shape
+    for f in range(w.shape[0]):
+        n = w.shape[1]
+        p = prob[f].astype(np.float64) / n
+        np.add.at(p, alias[f], (1.0 - prob[f].astype(np.float64)) / n)
+        np.testing.assert_allclose(p, w[f] / w[f].sum(), atol=1e-7)
+    # Degenerate all-zero weights: uniform self-alias fallback.
+    p0, a0 = alias_table(np.zeros(5, np.float32))
+    assert (p0 == 1.0).all() and (a0 == np.arange(5)).all()
+
+
+def test_sample_from_alias_matches_cdf_distribution():
+    """Alias draws and CDF draws agree in distribution (same weights)."""
+    from endosurf_tpu.native.meshops import alias_table
+    from endosurf_tpu.ops.pdf import sample_from_alias, sample_from_cdf
+    rng = np.random.default_rng(4)
+    w = (rng.random(257) * (rng.random(257) > 0.5)).astype(np.float32)
+    prob, alias = alias_table(w)
+    cdf = np.cumsum(w + 1e-12); cdf = (cdf / cdf[-1]).astype(np.float32)
+    import jax.numpy as jnp
+    n = 200_000
+    ia = np.asarray(sample_from_alias(jnp.asarray(prob), jnp.asarray(alias),
+                                      n, jax.random.PRNGKey(5)))
+    ic = np.asarray(sample_from_cdf(jnp.asarray(cdf), n,
+                                    jax.random.PRNGKey(6)))
+    ref = w / w.sum()
+    fa = np.bincount(ia, minlength=257) / n
+    fc = np.bincount(ic, minlength=257) / n
+    # Both within the same Monte-Carlo band of the true distribution.
+    tol = 4.0 * np.sqrt(ref.max() / n)  # ~4 sigma of the largest bin
+    assert np.abs(fa - ref).max() < tol
+    assert np.abs(fc - ref).max() < tol
+    # Zero-weight categories are never drawn by the alias sampler.
+    assert fa[w == 0].sum() == 0.0
+
+
+def test_sample_train_batch_alias(scene):
+    a = scene.device_arrays
+    batch = sample_train_batch(a, scene.h, scene.w, jax.random.PRNGKey(0),
+                               ray_batch=256, pixel_sampler="alias")
+    assert batch["rays"].shape == (256, 9)
+    # Mask-guided alias sampling also never leaves the color mask.
+    assert np.asarray(batch["color_mask"]).min() == 1.0
+    # And it jits.
+    import functools
+    fn = jax.jit(functools.partial(sample_train_batch, h=scene.h, w=scene.w,
+                                   ray_batch=64, pixel_sampler="alias"))
+    b1 = fn(a, key=jax.random.PRNGKey(1))
+    b2 = fn(a, key=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(b1["rays"]), np.asarray(b2["rays"]))
