@@ -44,7 +44,10 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 import numpy as np
 
 MODES = ("full", "no_importance", "no_gauss_sort", "mean_composite",
-         "cheap_pixels", "sgd")
+         "cheap_pixels", "alias_pixels", "sgd")
+if os.environ.get("ESN_AB_MODES"):
+    MODES = tuple(m for m in os.environ["ESN_AB_MODES"].split(",")
+                  if m in MODES)
 
 
 def main():
@@ -102,9 +105,10 @@ def main():
         depth_map = depth_raw[..., None]
         return rgb_map, depth_map, weights
 
-    def cheap_pixel_batch(arrays, h, w, key, ray_batch, mask_guided=True):
+    def cheap_pixel_batch(arrays, h, w, key, ray_batch,
+                          mask_guided=True, pixel_sampler="cdf"):
         """Uniform pixel draw: keeps every gather, skips the CDF search."""
-        del mask_guided
+        del mask_guided, pixel_sampler
         k_frame, k_pix = jax.random.split(key)
         list_train = arrays["list_train"]
         fid = list_train[
@@ -143,6 +147,7 @@ def main():
     def build(mode):
         rs = rspec
         tx = optax.adam(schedule)
+        sampler = "alias" if mode == "alias_pixels" else "cdf"
         if mode == "no_importance":
             rs = dataclasses.replace(rspec, n_samples=128, n_importance=0)
         if mode == "sgd":
@@ -155,7 +160,8 @@ def main():
             en.jnp = _JnpNoSort()
         try:
             step = make_train_step(spec, rs, tx, scene.h, scene.w,
-                                   ray_batch, loss_weights)
+                                   ray_batch, loss_weights,
+                                   pixel_sampler=sampler)
             p = jax.tree_util.tree_map(jnp.array, params0)
             st = tx.init(p)
             p, st, m = step(p, st, scene.device_arrays,
@@ -202,12 +208,17 @@ def main():
             "windows": [round(r, 1) for r in rates[mode]],
         }), flush=True)
     ms = {m: ray_batch / out[m] * 1e3 for m in MODES}
+
+    def delta(mode):
+        return round(ms["full"] - ms[mode], 2) if mode in ms else None
+
     print(json.dumps({
-        "importance_stage_ms": round(ms["full"] - ms["no_importance"], 2),
-        "gauss_sort_ms": round(ms["full"] - ms["no_gauss_sort"], 2),
-        "composite_ms": round(ms["full"] - ms["mean_composite"], 2),
-        "pixel_cdf_ms": round(ms["full"] - ms["cheap_pixels"], 2),
-        "adam_vs_sgd_ms": round(ms["full"] - ms["sgd"], 2),
+        "importance_stage_ms": delta("no_importance"),
+        "gauss_sort_ms": delta("no_gauss_sort"),
+        "composite_ms": delta("mean_composite"),
+        "pixel_cdf_ms": delta("cheap_pixels"),
+        "alias_saving_ms": delta("alias_pixels"),
+        "adam_vs_sgd_ms": delta("sgd"),
     }), flush=True)
 
 

@@ -36,7 +36,10 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 
-MODES = ("full", "mean_composite", "cheap_pixels", "sgd")
+MODES = ("full", "mean_composite", "cheap_pixels", "alias_pixels", "sgd")
+if os.environ.get("ESN_AB_MODES"):
+    MODES = tuple(m for m in os.environ["ESN_AB_MODES"].split(",")
+                  if m in MODES)
 
 
 def main():
@@ -97,8 +100,9 @@ def main():
         del eps
         return alpha / (jnp.sum(alpha, axis=-1, keepdims=True) + 1e-6)
 
-    def cheap_pixel_batch(arrays, h, w, key, ray_batch, mask_guided=True):
-        del mask_guided
+    def cheap_pixel_batch(arrays, h, w, key, ray_batch,
+                          mask_guided=True, pixel_sampler="cdf"):
+        del mask_guided, pixel_sampler
         k_frame, k_pix = jax.random.split(key)
         list_train = arrays["list_train"]
         fid = list_train[
@@ -124,6 +128,7 @@ def main():
 
     def build(mode):
         tx = optax.sgd(schedule) if mode == "sgd" else optax.adam(schedule)
+        sampler = "alias" if mode == "alias_pixels" else "cdf"
         if mode == "mean_composite":
             es.neus_alpha = cheap_alpha
             es.exclusive_cumprod_weights = cheap_weights
@@ -132,7 +137,7 @@ def main():
         try:
             step = make_train_step(spec, rspec, tx, scene.h, scene.w,
                                    ray_batch, weights, surf_neig_rad=0.1,
-                                   remat=False)
+                                   remat=False, pixel_sampler=sampler)
             p = jax.tree_util.tree_map(jnp.array, params0)
             st = tx.init(p)
             p, st, m = step(p, st, scene.device_arrays,
@@ -179,10 +184,15 @@ def main():
             "windows": [round(r, 1) for r in rates[mode]],
         }), flush=True)
     ms = {m: ray_batch / out[m] * 1e3 for m in MODES}
+
+    def delta(mode):
+        return round(ms["full"] - ms[mode], 2) if mode in ms else None
+
     print(json.dumps({
-        "composite_ms": round(ms["full"] - ms["mean_composite"], 2),
-        "pixel_cdf_ms": round(ms["full"] - ms["cheap_pixels"], 2),
-        "adam_vs_sgd_ms": round(ms["full"] - ms["sgd"], 2),
+        "composite_ms": delta("mean_composite"),
+        "pixel_cdf_ms": delta("cheap_pixels"),
+        "alias_saving_ms": delta("alias_pixels"),
+        "adam_vs_sgd_ms": delta("sgd"),
     }), flush=True)
 
 
